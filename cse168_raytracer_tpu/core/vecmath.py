@@ -1,0 +1,166 @@
+"""Batched 3-vector math for ray tracing.
+
+Replaces the reference's scalar Vector3/Matrix4x4 headers
+(Vector3.h, Matrix4x4.h) with (..., 3) jnp array helpers. All functions
+are shape-polymorphic over leading batch dims and fully differentiable.
+
+Optics helpers reproduce the reference's exact semantics:
+- reflect:   Ray.h:160
+- refract:   Ray.h:202-243 (with total-internal-reflection fallback)
+- fresnel:   Ray.h:168-200 (s-polarized-only coefficient, including the
+  reference's quirk of omitting the n2 factor in front of the sqrt term
+  — kept verbatim for radiance parity)
+- tangent frames: Utility.h:25-31 (getTangents) and
+  alignHemisphereToVector (Utility.h:34-50)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cse168_raytracer_tpu.config import EPSILON
+
+
+def dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched dot product over the last axis, keepdims=False."""
+    return jnp.sum(a * b, axis=-1)
+
+
+def dotk(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched dot product, keepdims=True (broadcast-friendly)."""
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def cross(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.cross(a, b)
+
+
+def length2(a: jax.Array) -> jax.Array:
+    return jnp.sum(a * a, axis=-1)
+
+
+def length(a: jax.Array) -> jax.Array:
+    return jnp.sqrt(length2(a))
+
+
+def normalize(a: jax.Array, eps: float = 0.0) -> jax.Array:
+    """Normalize over last axis. eps guards 0-vectors when nonzero."""
+    n2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    if eps:
+        n2 = jnp.maximum(n2, eps)
+    return a * jax.lax.rsqrt(n2)
+
+
+def safe_normalize(a: jax.Array) -> jax.Array:
+    return normalize(a, eps=1e-30)
+
+
+# ---------------------------------------------------------------------------
+# Tangent frames
+# ---------------------------------------------------------------------------
+
+def get_tangents(n: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Two tangents of normal n, matching Utility.h:25-31 exactly.
+
+    t1 = cross((0,0,1), n); fallback cross((0,1,0), n) when degenerate;
+    t2 = cross(t1, n). NOTE: like the reference, the tangents are NOT
+    normalized here; callers that need an orthonormal frame must
+    normalize (see onb()).
+    """
+    z = jnp.array([0.0, 0.0, 1.0], dtype=n.dtype)
+    y = jnp.array([0.0, 1.0, 0.0], dtype=n.dtype)
+    t1a = jnp.cross(jnp.broadcast_to(z, n.shape), n)
+    t1b = jnp.cross(jnp.broadcast_to(y, n.shape), n)
+    use_b = (length2(t1a) < 1e-6)[..., None]
+    t1 = jnp.where(use_b, t1b, t1a)
+    t2 = jnp.cross(t1, n)
+    return t1, t2
+
+
+def onb(n: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Orthonormal basis (t1, t2) completing unit normal n."""
+    t1, t2 = get_tangents(n)
+    return safe_normalize(t1), safe_normalize(t2)
+
+
+def align_hemisphere(v: jax.Array, theta: jax.Array, phi: jax.Array) -> jax.Array:
+    """Direction at spherical coords (theta=azimuth, phi=polar) around axis v.
+
+    Matches alignHemisphereToVector (Utility.h:34-50): builds the
+    *unnormalized* tangent frame, combines, then normalizes the result.
+    The reference leaves t1 unnormalized which slightly biases samples
+    toward v when |cross(z,v)| < 1 — we normalize the frame (correct
+    cosine sampling); the final normalize makes perfect-specular paths
+    identical either way.
+    """
+    t1, t2 = onb(v)
+    sp = jnp.sin(phi)[..., None]
+    u1 = sp * jnp.cos(theta)[..., None]
+    u2 = sp * jnp.sin(theta)[..., None]
+    u3 = jnp.cos(phi)[..., None]
+    return safe_normalize(u1 * t1 + u2 * t2 + u3 * v)
+
+
+# ---------------------------------------------------------------------------
+# Optics
+# ---------------------------------------------------------------------------
+
+def reflect(d: jax.Array, n: jax.Array) -> jax.Array:
+    """Mirror reflection of direction d about normal n (Ray.h:160)."""
+    return d - 2.0 * dotk(n, d) * n
+
+
+def _oriented_ior(d: jax.Array, n: jax.Array, ior: jax.Array):
+    """(n1, n2, oriented normal) per Ray.h:173-185: entering when d.n<0."""
+    entering = dotk(d, n) < 0.0
+    one = jnp.ones_like(ior)
+    n1 = jnp.where(entering[..., 0], one, ior)
+    n2 = jnp.where(entering[..., 0], ior, one)
+    n_or = jnp.where(entering, n, -n)
+    return n1, n2, n_or
+
+
+def fresnel_rs(d: jax.Array, n: jax.Array, ior: jax.Array) -> jax.Array:
+    """S-polarized Fresnel reflection coefficient, Ray.h:168-200.
+
+    Reproduces the reference formula verbatim, including its omission of
+    the n2 factor on the sqrt term:
+        Rs = ((n1 cosT - sqrt(1-((n1/n2) sinT)^2)) /
+              (n1 cosT + sqrt(1-((n1/n2) sinT)^2)))^2
+    Above the critical angle returns 1.
+    """
+    n1, n2, n_or = _oriented_ior(d, n, ior)
+    cos_t = jnp.clip(dot(-d, n_or), -1.0, 1.0)
+    sin_t = jnp.sin(jnp.arccos(cos_t))
+    pow_something = ((n1 / n2) * sin_t) ** 2
+    tir = pow_something > 1.0
+    sqrt_term = jnp.sqrt(jnp.clip(1.0 - pow_something, 0.0, None))
+    denom = n1 * cos_t + sqrt_term
+    rs = ((n1 * cos_t - sqrt_term) / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)) ** 2
+    return jnp.where(tir, 1.0, rs)
+
+
+def refract(d: jax.Array, n: jax.Array, ior: jax.Array):
+    """Snell refraction with TIR fallback to reflection (Ray.h:202-243).
+
+    Returns (direction, tir_mask). Where tir_mask is True the returned
+    direction is the mirror reflection, as in the reference.
+    """
+    n1, n2, n_or = _oriented_ior(d, n, ior)
+    d_dot_n = dot(d, n_or)
+    energy = 1.0 - (n1 ** 2) * (1.0 - d_dot_n ** 2) / (n2 ** 2)
+    tir = energy < 0.0
+    refr = (n1[..., None] * (d - n_or * d_dot_n[..., None]) / n2[..., None]
+            - n_or * jnp.sqrt(jnp.clip(energy, 0.0, None))[..., None])
+    refl = reflect(d, n)
+    return jnp.where(tir[..., None], refl, refr), tir
+
+
+def offset_ray_origin(p: jax.Array, d: jax.Array) -> jax.Array:
+    """Epsilon-offset a secondary ray origin along its direction.
+
+    Matches the reference convention `origin + epsilon * dir`
+    (Ray.h:91, Scene.cpp:535, Phong.cpp:92).
+    """
+    return p + EPSILON * d

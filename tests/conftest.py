@@ -1,0 +1,15 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so
+multi-chip sharding logic is exercised without a TPU slice
+(xla_force_host_platform_device_count, per SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
