@@ -1,0 +1,148 @@
+"""Wavefront OBJ loader with the reference's exact normal semantics.
+
+Re-implements TriangleMeshLoad.cpp:114-311 in numpy (a C++ fast path
+lives in csrc/ and is used automatically when built):
+
+- vertices transformed by the CTM at load (TriangleMeshLoad.cpp:211)
+- `vn` normals transformed by inverse-transpose CTM and normalized
+  (TriangleMeshLoad.cpp:176-190)
+- faces read as triangles (first three vertex tokens, matching the
+  reference's `sscanf %s %s %s`, TriangleMeshLoad.cpp:222)
+- faces without normal indices get a face normal cross(e1,e2)
+  replicated per corner and flagged for fixing
+  (TriangleMeshLoad.cpp:252-281)
+- per-vertex neighbor-normal lists are then averaged (mean, then
+  normalize) and written back to every *generated* normal only
+  (TriangleMeshLoad.cpp:287-308) — this is what gives the bunny its
+  smooth shading and must match for radiance parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _parse_face_token(tok: str) -> tuple[int, int, int]:
+    """'v/t/n' -> (v, t, n), 0 where missing (atoi semantics,
+    TriangleMeshLoad.cpp:82-111)."""
+    parts = tok.split("/")
+    v = int(parts[0]) if parts[0] else 0
+    t = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+    n = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+    return v, t, n
+
+
+def load_obj(path: str, ctm: np.ndarray | None = None):
+    """Load an OBJ file. Returns a dict of numpy arrays:
+
+    vertices (V,3) f32, normals (N,3) f32, texcoords (TC,2) f32,
+    tri_vidx/tri_nidx/tri_tidx (T,3) i32 (tidx = -1 when absent).
+    """
+    if ctm is None:
+        ctm = np.eye(4, dtype=np.float64)
+    ctm = np.asarray(ctm, dtype=np.float64)
+    # normal transform: inverse-transpose (TriangleMeshLoad.cpp:176-178)
+    nctm = np.linalg.inv(ctm).T
+
+    verts: list[tuple] = []
+    normals: list[np.ndarray] = []
+    texcoords: list[tuple] = []
+    fix_normal: list[bool] = []
+    tri_v = []
+    tri_n = []
+    tri_t = []
+    # vertex -> list of neighboring normal indices (TriangleMeshLoad.cpp:162)
+    neighbor_normals: dict[int, list[int]] = {}
+
+    def xform_point(x, y, z):
+        p = ctm @ np.array([x, y, z, 1.0])
+        return p[:3]
+
+    def xform_normal(x, y, z):
+        n = nctm @ np.array([x, y, z, 0.0])
+        n = n[:3]
+        ln = np.linalg.norm(n)
+        return n / ln if ln > 0 else n
+
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("vn"):
+                parts = line[2:].split()
+                normals.append(xform_normal(float(parts[0]), float(parts[1]),
+                                            float(parts[2])))
+                fix_normal.append(False)
+            elif line.startswith("vt"):
+                parts = line[2:].split()
+                texcoords.append((float(parts[0]), float(parts[1])))
+            elif line.startswith("v"):
+                parts = line[1:].split()
+                verts.append(xform_point(float(parts[0]), float(parts[1]),
+                                         float(parts[2])))
+            elif line.startswith("f"):
+                toks = line[1:].split()
+                if len(toks) < 3:
+                    continue
+                vtn = [_parse_face_token(t) for t in toks[:3]]
+                vi = [x[0] - 1 for x in vtn]
+                ti = [x[1] - 1 for x in vtn]
+                ni = [x[2] - 1 for x in vtn]
+                tri_v.append(vi)
+                tri_t.append(ti if vtn[0][1] else [-1, -1, -1])
+                if vtn[2][2]:  # normals supplied (reference checks last token's n)
+                    tri_n.append(ni)
+                    for c in range(3):
+                        neighbor_normals.setdefault(vi[c], []).append(ni[c])
+                else:
+                    # generate face normal, replicated per corner
+                    e1 = verts[vi[1]] - verts[vi[0]]
+                    e2 = verts[vi[2]] - verts[vi[0]]
+                    fn = np.cross(e1, e2)
+                    ln = np.linalg.norm(fn)
+                    fn = fn / ln if ln > 0 else fn
+                    base = len(normals)
+                    for c in range(3):
+                        normals.append(fn.copy())
+                        fix_normal.append(True)
+                        neighbor_normals.setdefault(vi[c], []).append(base + c)
+                    tri_n.append([base, base + 1, base + 2])
+
+    normals_arr = (np.stack(normals) if normals
+                   else np.zeros((0, 3), dtype=np.float64))
+    fix = np.asarray(fix_normal, dtype=bool)
+
+    # Average pass (TriangleMeshLoad.cpp:287-308): vertex average over ALL
+    # neighbor normals, written back only to generated ("fix") entries.
+    for _vi, nlist in neighbor_normals.items():
+        avg = normals_arr[nlist].mean(axis=0)
+        ln = np.linalg.norm(avg)
+        if ln > 0:
+            avg = avg / ln
+        for nidx in nlist:
+            if fix[nidx]:
+                normals_arr[nidx] = avg
+
+    return {
+        "vertices": np.asarray(verts, dtype=np.float32).reshape(-1, 3),
+        "normals": normals_arr.astype(np.float32),
+        "texcoords": np.asarray(texcoords, dtype=np.float32).reshape(-1, 2),
+        "tri_vidx": np.asarray(tri_v, dtype=np.int32).reshape(-1, 3),
+        "tri_nidx": np.asarray(tri_n, dtype=np.int32).reshape(-1, 3),
+        "tri_tidx": np.asarray(tri_t, dtype=np.int32).reshape(-1, 3),
+    }
+
+
+def make_ctm(translate=(0.0, 0.0, 0.0), rot_y: float = 0.0,
+             scale=(1.0, 1.0, 1.0)) -> np.ndarray:
+    """CTM = translate @ rotateY(rot_y radians) @ scale, matching
+    addModel (Utility.cpp:14-20, column-vector Matrix4x4 ctor)."""
+    if np.isscalar(scale):
+        scale = (scale, scale, scale)
+    s = np.diag([scale[0], scale[1], scale[2], 1.0])
+    a = float(rot_y)
+    r = np.array([[np.cos(a), 0, np.sin(a), 0],
+                  [0, 1, 0, 0],
+                  [-np.sin(a), 0, np.cos(a), 0],
+                  [0, 0, 0, 1.0]])
+    t = np.eye(4)
+    t[:3, 3] = translate
+    return t @ r @ s

@@ -1,0 +1,183 @@
+"""Batched ray-primitive intersection on the MXU.
+
+The TPU-native replacement for the reference's per-ray recursive BVH +
+SSE packet tests (BVH.cpp:341-658, Triangle.cpp:136-169). Instead of
+divergent tree walks, rays are tested against triangle blocks with one
+(N,6)@(6,3*TB) matmul per block (Pluecker form — see TrianglePack in
+models/geometry.py) under a lax.scan running-min. Acceptance semantics
+match Triangle.cpp:158 exactly:
+
+    reject if beta < -eps or gamma < -eps or beta+gamma > 1+eps
+              or t < tMin or t > tMax
+
+(signed division by den = dot(-d, n), so backfaces hit, as in the
+reference). Sphere semantics: Sphere.cpp:27-69 (strict t bounds).
+Plane semantics: Plane.cpp:32-48.
+
+All outputs are differentiable w.r.t. ray origins/directions and
+triangle vertices; hit *selection* (argmin) is discrete and detached,
+matching the finite-difference-oracle protocol (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cse168_raytracer_tpu.config import EPSILON, MIRO_TMAX
+from cse168_raytracer_tpu.models.geometry import (PlanePool, SpherePool,
+                                                  TrianglePack)
+
+PRIM_NONE = 0
+PRIM_TRI = 1
+PRIM_SPHERE = 2
+PRIM_PLANE = 3
+
+_BIG = jnp.float32(3.0e37)
+_DEN_TINY = 1e-30
+
+
+class Hit(NamedTuple):
+    """Wavefront hit record (SoA HitInfo, Ray.h:21-38)."""
+    t: jax.Array          # (N,) f32, _BIG when miss
+    prim_type: jax.Array  # (N,) i32
+    prim_id: jax.Array    # (N,) i32
+    hit: jax.Array        # (N,) bool
+
+
+def _ray6(o: jax.Array, d: jax.Array) -> jax.Array:
+    """Per-ray Pluecker 6-vector [d, cross(o, d)]."""
+    return jnp.concatenate([d, jnp.cross(o, d)], axis=-1)
+
+
+def _ray4(o: jax.Array) -> jax.Array:
+    return jnp.concatenate([o, jnp.ones_like(o[..., :1])], axis=-1)
+
+
+def intersect_triangles(pack: TrianglePack, o: jax.Array, d: jax.Array,
+                        tmin, tmax, tri_block: int = 2048) -> Hit:
+    """Closest-hit of N rays against every triangle in `pack`.
+
+    o, d: (N, 3). tmin/tmax: scalar or (N,). Scans triangle blocks of
+    `tri_block` keeping a running (t, id) min per ray — the same
+    streaming structure as the Pallas kernel, expressed in XLA.
+    """
+    n = o.shape[0]
+    t_total = pack.num_tris
+    tb = min(tri_block, t_total)
+    n_blocks = (t_total + tb - 1) // tb
+    assert t_total % tb == 0, "TrianglePack must be padded to block multiple"
+
+    r6 = _ray6(o, d)                       # (N, 6)
+    r4 = _ray4(o)                          # (N, 4)
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, o.dtype), (n,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, o.dtype), (n,))
+
+    w6 = pack.w6.reshape(6, n_blocks, tb, 3)
+    w4 = pack.w4.reshape(4, n_blocks, tb)
+    valid = pack.valid.reshape(n_blocks, tb)
+
+    def body(carry, blk):
+        best_t, best_id = carry
+        w6b, w4b, vb, base = blk
+        nums = jnp.dot(r6, w6b.reshape(6, tb * 3),
+                       preferred_element_type=jnp.float32)
+        nums = nums.reshape(n, tb, 3)
+        t_num = jnp.dot(r4, w4b, preferred_element_type=jnp.float32)  # (N,TB)
+        den = nums[:, :, 2]
+        safe_den = jnp.where(jnp.abs(den) < _DEN_TINY, 1.0, den)
+        inv_den = 1.0 / safe_den
+        beta = nums[:, :, 0] * inv_den
+        gamma = nums[:, :, 1] * inv_den
+        t = t_num * inv_den
+        ok = ((beta >= -EPSILON) & (gamma >= -EPSILON)
+              & (beta + gamma <= 1.0 + EPSILON)
+              & (t >= tmin[:, None]) & (t <= tmax[:, None])
+              & (jnp.abs(den) >= _DEN_TINY) & vb[None, :])
+        tm = jnp.where(ok, t, _BIG)
+        bmin = jnp.min(tm, axis=1)
+        barg = jnp.argmin(tm, axis=1).astype(jnp.int32) + base
+        better = bmin < best_t
+        return (jnp.where(better, bmin, best_t),
+                jnp.where(better, barg, best_id)), None
+
+    bases = jnp.arange(n_blocks, dtype=jnp.int32) * tb
+    init = (jnp.full((n,), _BIG), jnp.zeros((n,), jnp.int32))
+    (best_t, best_id), _ = jax.lax.scan(
+        body, init, (jnp.moveaxis(w6, 1, 0), jnp.moveaxis(w4, 1, 0),
+                     valid, bases))
+    hit = best_t < _BIG
+    return Hit(t=best_t, prim_type=jnp.where(hit, PRIM_TRI, PRIM_NONE),
+               prim_id=best_id, hit=hit)
+
+
+def intersect_spheres(pool: SpherePool, o: jax.Array, d: jax.Array,
+                      tmin, tmax) -> Hit:
+    """Quadratic-formula sphere intersection (Sphere.cpp:27-69)."""
+    n = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, o.dtype), (n,))[:, None]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, o.dtype), (n,))[:, None]
+    to_o = o[:, None, :] - pool.center[None, :, :]        # (N, S, 3)
+    a = jnp.sum(d * d, axis=-1)[:, None]
+    b = 2.0 * jnp.sum(d[:, None, :] * to_o, axis=-1)
+    c = jnp.sum(to_o * to_o, axis=-1) - pool.radius[None, :] ** 2
+    disc = b * b - 4.0 * a * c
+    has_real = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(has_real, disc, 0.0))
+    t0 = (-b - sq) / (2.0 * a)
+    t1 = (-b + sq) / (2.0 * a)
+    ok0 = (t0 > tmin) & (t0 < tmax)
+    ok1 = (t1 > tmin) & (t1 < tmax)
+    t = jnp.where(ok0, t0, t1)
+    ok = has_real & (ok0 | ok1) & pool.valid[None, :]
+    tm = jnp.where(ok, t, _BIG)
+    best_t = jnp.min(tm, axis=1)
+    best_id = jnp.argmin(tm, axis=1).astype(jnp.int32)
+    hit = best_t < _BIG
+    return Hit(t=best_t, prim_type=jnp.where(hit, PRIM_SPHERE, PRIM_NONE),
+               prim_id=best_id, hit=hit)
+
+
+def intersect_planes(pool: PlanePool, o: jax.Array, d: jax.Array,
+                     tmin, tmax) -> Hit:
+    """Infinite-plane intersection (Plane.cpp:32-48); planes are the
+    reference's unbounded list scanned after the BVH (Scene.cpp:219-230)."""
+    n = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, o.dtype), (n,))[:, None]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, o.dtype), (n,))[:, None]
+    ndotd = jnp.einsum("nk,pk->np", d, pool.normal)
+    safe = jnp.where(jnp.abs(ndotd) < 1e-6, 1.0, ndotd)
+    num = jnp.einsum("pk,npk->np", pool.normal,
+                     pool.origin[None, :, :] - o[:, None, :])
+    t = num / safe
+    ok = (jnp.abs(ndotd) >= 1e-6) & (t >= tmin) & (t <= tmax) \
+        & pool.valid[None, :]
+    tm = jnp.where(ok, t, _BIG)
+    best_t = jnp.min(tm, axis=1)
+    best_id = jnp.argmin(tm, axis=1).astype(jnp.int32)
+    hit = best_t < _BIG
+    return Hit(t=best_t, prim_type=jnp.where(hit, PRIM_PLANE, PRIM_NONE),
+               prim_id=best_id, hit=hit)
+
+
+def _merge(a: Hit, b: Hit) -> Hit:
+    """Keep the closer hit (Scene.cpp:224: strict <, first wins ties)."""
+    b_better = b.hit & (~a.hit | (b.t < a.t))
+    return Hit(t=jnp.where(b_better, b.t, a.t),
+               prim_type=jnp.where(b_better, b.prim_type, a.prim_type),
+               prim_id=jnp.where(b_better, b.prim_id, a.prim_id),
+               hit=a.hit | b.hit)
+
+
+def closest_hit(tris: TrianglePack, spheres: SpherePool, planes: PlanePool,
+                o: jax.Array, d: jax.Array, tmin=0.0, tmax=MIRO_TMAX,
+                tri_block: int = 2048) -> Hit:
+    """Scene::trace equivalent (Scene.cpp:214-231): accelerated pass
+    over bounded prims then the unbounded plane list."""
+    h = intersect_triangles(tris, o, d, tmin, tmax, tri_block)
+    h = _merge(h, intersect_spheres(spheres, o, d, tmin, tmax))
+    h = _merge(h, intersect_planes(planes, o, d, tmin, tmax))
+    return h

@@ -1,0 +1,126 @@
+"""Hit -> shading surface reconstruction (differentiable).
+
+Given the discrete winner (prim_type, prim_id) from ops/intersect.py,
+recompute P, shading normal, UV and material id by gathering that one
+primitive and redoing the continuous math, so gradients flow to
+vertices/centers/normals while the winner index stays detached.
+
+Semantics parity:
+- Triangle P = A + beta*e1 + gamma*e2 and UNNORMALIZED interpolated
+  normal (Triangle.cpp:160-162); normalization happens in the bump
+  step (Scene.cpp:234-263), which for materials with zero bump height
+  reduces to plain normalization — reproduced in shading.apply_bump.
+- Triangle UV: Cramer's rule discarding the "largest" normal axis with
+  the reference's exact (signed, quirky) axis choice and >=0 clamps
+  (Triangle.cpp:172-222).
+- Sphere P = o + t*d, N = normalize(P - center) (Sphere.cpp:63-66),
+  spherical UV (Sphere.cpp:83-95).
+- Plane N = plane normal, UV = (x, z) of P (Plane.cpp:50-60).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cse168_raytracer_tpu.config import PI
+from cse168_raytracer_tpu.core.vecmath import dotk, safe_normalize
+from cse168_raytracer_tpu.models.geometry import (PlanePool, SpherePool,
+                                                  TrianglePack)
+from cse168_raytracer_tpu.ops.intersect import (PRIM_PLANE, PRIM_SPHERE,
+                                                PRIM_TRI, Hit)
+
+
+class Surface(NamedTuple):
+    """Wavefront shading-point record."""
+    p: jax.Array            # (N, 3) hit point
+    n: jax.Array            # (N, 3) shading normal (pre-bump, may be unnormalized)
+    geo_n: jax.Array        # (N, 3) geometric normal (unnormalized)
+    uv: jax.Array           # (N, 2)
+    material_id: jax.Array  # (N,) i32
+    hit: jax.Array          # (N,) bool
+
+
+def _tri_surface(pack: TrianglePack, o, d, tri_id):
+    v0 = pack.v0[tri_id]
+    e1 = pack.e1[tri_id]
+    e2 = pack.e2[tri_id]
+    n_geo = pack.n_geo[tri_id]
+    den = jnp.sum(-d * n_geo, axis=-1)
+    safe_den = jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
+    om_a = o - v0
+    beta = jnp.sum(-d * jnp.cross(om_a, e2), axis=-1) / safe_den
+    gamma = jnp.sum(-d * jnp.cross(e1, om_a), axis=-1) / safe_den
+    p = v0 + beta[:, None] * e1 + gamma[:, None] * e2   # Triangle.cpp:160
+    n = ((1.0 - beta - gamma)[:, None] * pack.n0[tri_id]
+         + beta[:, None] * pack.n1[tri_id]
+         + gamma[:, None] * pack.n2[tri_id])            # Triangle.cpp:162
+
+    # UV (Triangle.cpp:190-221): discard "largest" normal axis.
+    # Reference: i=0, j=1; if (n.x > n.z) i=2; else if (n.y > n.z) j=2.
+    i_idx = jnp.where(n_geo[:, 0] > n_geo[:, 2], 2, 0)
+    j_idx = jnp.where((n_geo[:, 0] > n_geo[:, 2]),
+                      1, jnp.where(n_geo[:, 1] > n_geo[:, 2], 2, 1))
+    pv = p - v0
+    take = lambda arr, idx: jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+    p_i, p_j = take(pv, i_idx), take(pv, j_idx)
+    b_i, b_j = take(e1, i_idx), take(e1, j_idx)
+    c_i, c_j = take(e2, i_idx), take(e2, j_idx)
+    det_pc = p_i * c_j - c_i * p_j
+    det_bp = b_i * p_j - p_i * b_j
+    det_bc = b_i * c_j - c_i * b_j
+    safe_bc = jnp.where(jnp.abs(det_bc) < 1e-30, 1.0, det_bc)
+    ub = jnp.maximum(det_pc / safe_bc, 0.0)
+    ug = jnp.maximum(det_bp / safe_bc, 0.0)
+    ua = jnp.maximum(1.0 - (ub + ug), 0.0)
+    t0, t1, t2 = pack.t0[tri_id], pack.t1[tri_id], pack.t2[tri_id]
+    uv = (ua[:, None] * t0 + ub[:, None] * t1 + ug[:, None] * t2)
+    # meshes without texcoords return (0,0) (Triangle.cpp:174-175)
+    uv = jnp.where(pack.has_uv[tri_id][:, None], uv, 0.0)
+    return p, n, n_geo, uv, pack.material_id[tri_id]
+
+
+def _sphere_surface(pool: SpherePool, o, d, t, sph_id):
+    c = pool.center[sph_id]
+    p = o + t[:, None] * d
+    n = p - c
+    n_unit = safe_normalize(n)
+    u = jnp.arctan2(n_unit[:, 0], n_unit[:, 2]) / (2.0 * PI) + 0.5
+    v = jnp.clip(jnp.arcsin(jnp.clip(n_unit[:, 1], -1.0, 1.0)),
+                 -PI / 2, PI / 2) / PI + 0.5
+    return p, n_unit, n, jnp.stack([u, v], axis=-1), pool.material_id[sph_id]
+
+
+def _plane_surface(pool: PlanePool, o, d, t, pl_id):
+    nrm = pool.normal[pl_id]
+    p = o + t[:, None] * d
+    uv = jnp.stack([p[:, 0], p[:, 2]], axis=-1)   # Plane.cpp:50-60
+    return p, nrm, nrm, uv, pool.material_id[pl_id]
+
+
+def make_surface(tris: TrianglePack, spheres: SpherePool, planes: PlanePool,
+                 o: jax.Array, d: jax.Array, hit: Hit) -> Surface:
+    """Build the Surface record for a wavefront of rays, branch-free
+    over primitive type (lax.switch would serialize; masks are cheap)."""
+    tri_id = jnp.where(hit.prim_type == PRIM_TRI, hit.prim_id, 0)
+    sph_id = jnp.where(hit.prim_type == PRIM_SPHERE, hit.prim_id, 0)
+    pl_id = jnp.where(hit.prim_type == PRIM_PLANE, hit.prim_id, 0)
+
+    tp, tn, tgn, tuv, tm = _tri_surface(tris, o, d, tri_id)
+    sp, sn, sgn, suv, sm = _sphere_surface(spheres, o, d, hit.t, sph_id)
+    pp, pn, pgn, puv, pm = _plane_surface(planes, o, d, hit.t, pl_id)
+
+    is_t = (hit.prim_type == PRIM_TRI)[:, None]
+    is_s = (hit.prim_type == PRIM_SPHERE)[:, None]
+    is_p = (hit.prim_type == PRIM_PLANE)[:, None]
+
+    p = jnp.where(is_t, tp, jnp.where(is_s, sp, pp))
+    n = jnp.where(is_t, tn, jnp.where(is_s, sn, pn))
+    gn = jnp.where(is_t, tgn, jnp.where(is_s, sgn, pgn))
+    uv = jnp.where(is_t, tuv, jnp.where(is_s, suv, puv))
+    mat = jnp.where(hit.prim_type == PRIM_TRI, tm,
+                    jnp.where(hit.prim_type == PRIM_SPHERE, sm, pm))
+    return Surface(p=p, n=n, geo_n=gn, uv=uv,
+                   material_id=mat.astype(jnp.int32), hit=hit.hit)
