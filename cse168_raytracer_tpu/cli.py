@@ -1,0 +1,125 @@
+"""Command-line entry point (replaces main.cpp's headless NO_GFX path:
+pick a scene, render, write the image; main.cpp:185-235).
+
+Usage:
+    python -m cse168_raytracer_tpu.cli render --scene teapot \
+        --width 512 --height 512 --out out.png
+    python -m cse168_raytracer_tpu.cli render --scene cornell \
+        --path-tracing --spp 16 --depth 4 --out cornell.png
+    python -m cse168_raytracer_tpu.cli scenes      # list scenes
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _cmd_scenes(_args) -> int:
+    from cse168_raytracer_tpu.scenes import SCENES
+    for name in sorted(SCENES):
+        print(name)
+    return 0
+
+
+def _cmd_render(args) -> int:
+    import jax
+    import numpy as np
+
+    from cse168_raytracer_tpu.config import RenderConfig
+    from cse168_raytracer_tpu.render.image_io import write_image
+    from cse168_raytracer_tpu.render.integrator import render_hdr
+    from cse168_raytracer_tpu.render.tonemap import sigmoid_tonemap, to_bytes
+    from cse168_raytracer_tpu.scenes import build
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height,
+        trace_depth=args.depth, trace_samples=args.spp,
+        path_tracing=args.path_tracing, dof=args.dof,
+        disable_shadows=args.no_shadows,
+        photons_per_light=args.photons,
+        caustic_photons_per_light=args.caustic_photons,
+        collect_stats=args.stats, seed=args.seed)
+
+    t0 = time.time()
+    scene, static, cam, cfg = build(args.scene, cfg)
+    print(f"[scene] built {args.scene} in {time.time() - t0:.2f}s "
+          f"({scene.tris.num_tris} padded tris)", file=sys.stderr)
+
+    if args.accel:
+        from cse168_raytracer_tpu.ops.accel import attach_accel
+        t0 = time.time()
+        scene = attach_accel(scene)
+        print(f"[accel] built in {time.time() - t0:.2f}s", file=sys.stderr)
+
+    if cfg.photons_per_light > 0 and not args.no_photon_map:
+        from cse168_raytracer_tpu.ops.photon import build_photon_maps
+        t0 = time.time()
+        photons = build_photon_maps(scene, static, cfg,
+                                    jax.random.key(cfg.seed + 7))
+        scene = scene.replace(photons=photons)
+        print(f"[photons] traced in {time.time() - t0:.2f}s", file=sys.stderr)
+
+    key = jax.random.key(cfg.seed)
+    render = jax.jit(render_hdr, static_argnames=("static", "cfg"))
+    t0 = time.time()
+    hdr, stats = jax.block_until_ready(render(scene, static, cam, cfg, key))
+    t_compile_and_run = time.time() - t0
+    t0 = time.time()
+    hdr, stats = jax.block_until_ready(render(scene, static, cam, cfg, key))
+    t_steady = time.time() - t0
+    print(f"[render] compile+run {t_compile_and_run:.2f}s, "
+          f"steady-state {t_steady:.3f}s", file=sys.stderr)
+    if args.stats:
+        print(f"[stats] primary={int(stats.primary_rays)} "
+              f"secondary={int(stats.secondary_rays)} "
+              f"shadow={int(stats.shadow_rays)} "
+              f"dropped={int(stats.dropped_rays)}", file=sys.stderr)
+
+    img = to_bytes(sigmoid_tonemap(hdr))
+    write_image(args.out, np.asarray(img))
+    print(f"[out] wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="miro-tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("scenes", help="list available scenes")
+
+    r = sub.add_parser("render", help="render a scene")
+    r.add_argument("--scene", required=True)
+    r.add_argument("--width", type=int, default=512)
+    r.add_argument("--height", type=int, default=512)
+    r.add_argument("--depth", type=int, default=10,
+                   help="TRACE_DEPTH (Miro.h:13)")
+    r.add_argument("--spp", type=int, default=1,
+                   help="samples per pixel (TRACE_SAMPLES in PT/DOF mode)")
+    r.add_argument("--path-tracing", action="store_true",
+                   help="-DPATH_TRACING mode")
+    r.add_argument("--dof", action="store_true", help="-DDOF mode")
+    r.add_argument("--no-shadows", action="store_true",
+                   help="-DDISABLE_SHADOWS")
+    r.add_argument("--accel", action="store_true", default=True,
+                   help="use the block-AABB accelerator (default on)")
+    r.add_argument("--no-accel", dest="accel", action="store_false")
+    r.add_argument("--photons", type=int, default=0,
+                   help="photons per light (0 disables photon mapping)")
+    r.add_argument("--caustic-photons", type=int, default=0)
+    r.add_argument("--no-photon-map", action="store_true")
+    r.add_argument("--stats", action="store_true", help="-DSTATS counters")
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--out", default="out.png")
+
+    args = p.parse_args(argv)
+    if args.cmd == "scenes":
+        return _cmd_scenes(args)
+    return _cmd_render(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,434 @@
+"""Texture system: procedural + image textures + environment maps.
+
+Replaces the reference Texture hierarchy (Texture.h/.cpp) with pure
+jnp evaluation dispatched on MaterialTable.texture_kind. Every formula
+is reproduced exactly (constants and all) so radiance matches:
+
+- generateNoise: signed multi-octave Perlin, normalized by total
+  amplitude (Texture.h:20-37).
+- CheckerBoardTexture: scaled |uv| truncation parity test
+  (Texture.h:125-132) including the negative-coordinate shift.
+- StoneTexture: Worley F1..F3 + cell-id palette + turbulence
+  (Texture.cpp:358-440), including the data-dependent octave count
+  id%3+5 in the bump path (masked static-octave loop here).
+- CloudTexture: sigmoid-shaped fractal noise (Texture.h:152-164).
+  C++ quirk note: CloudTexture declares lookup2D(tex_coord3d_t) which
+  *hides* but does not override the virtual lookup2D(tex_coord2d_t),
+  so through a Texture* the reference actually returns black; we
+  implement the obvious intent (the formula) since the texture is only
+  ever used as an environment where the formula is what renders.
+- Petal/Stem/Leaf/FlowerCenter: final-scene textures
+  (Texture.cpp:442-505, Texture.h:184-277).
+- LoadedTexture: bilinear filtering with wraparound and post-interp
+  HDR tonemap min(1.5*(v/max)^0.5, 1) (Texture.cpp:23-28,161-185);
+  24px-wide Gaussian-prefiltered lowres used for diffuse/indirect
+  lookups (Texture.cpp:52-91), including the reference's G/B channel
+  swap when writing float lowres pixels (Texture.cpp:118-124).
+- Environment lookup: lat-long mapping with rotation offsets and pole
+  reflection (Scene.cpp:657-688).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from cse168_raytracer_tpu.config import PI
+from cse168_raytracer_tpu.core.noise import perlin, worley2
+from cse168_raytracer_tpu.models.materials import (
+    MaterialTable, TEX_CHECKER, TEX_CLOUD, TEX_CONSTANT, TEX_FLOWER_CENTER,
+    TEX_IMAGE, TEX_LEAF, TEX_PETAL, TEX_STEM, TEX_STONE, UVW_KINDS)
+
+
+def sigmoid(x):
+    """Utility.h sigmoid."""
+    return 1.0 / (1.0 + jnp.exp(-x))
+
+
+def generate_noise(x, y, z, initial_frequency, frequency_increase,
+                   amplitude_falloff, iterations: int):
+    """Signed turbulence, Texture.h:20-37 (static iteration count)."""
+    amp = 1.0
+    freq = initial_frequency
+    value = jnp.zeros_like(x)
+    max_val = 0.0
+    for _ in range(iterations):
+        value = value + amp * perlin(x * freq, y * freq, z * freq)
+        max_val += amp
+        freq *= frequency_increase
+        amp *= amplitude_falloff
+    return value / max_val
+
+
+def generate_noise_dynamic(x, y, z, initial_frequency, frequency_increase,
+                           amplitude_falloff, iterations, max_iterations: int):
+    """generateNoise with a per-point iteration count in
+    [1, max_iterations] (StoneTexture bump uses id%3+5 octaves,
+    Texture.cpp:376). Static unrolled loop with per-point masks."""
+    amp = 1.0
+    freq = initial_frequency
+    value = jnp.zeros_like(x)
+    max_val = jnp.zeros_like(x)
+    for i in range(max_iterations):
+        active = i < iterations
+        value = value + jnp.where(active,
+                                  amp * perlin(x * freq, y * freq, z * freq),
+                                  0.0)
+        max_val = max_val + jnp.where(active, amp, 0.0)
+        freq *= frequency_increase
+        amp *= amplitude_falloff
+    return value / jnp.maximum(max_val, 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Procedural textures. All take (N,)-shaped coordinate arrays and the
+# per-point parameter rows gathered from the material table.
+# ---------------------------------------------------------------------------
+
+def checker_lookup(u, v, scale, color1, color2):
+    """CheckerBoardTexture::lookup2D (Texture.h:125-132)."""
+    su = jnp.abs(scale * u)
+    sv = jnp.abs(scale * v)
+    su = jnp.where(u < 0, su + scale, su)
+    sv = jnp.where(v < 0, sv + scale, sv)
+    parity = (jnp.trunc(su).astype(jnp.int32)
+              + jnp.trunc(sv).astype(jnp.int32)) % 2
+    return jnp.where((parity == 0)[..., None], color1, color2)
+
+
+def _stone_worley(u, v):
+    f, _delta, ids = worley2(jnp.stack([u, v], axis=-1), max_order=3)
+    return f[..., 0], f[..., 1], f[..., 2], ids[..., 0]
+
+
+def stone_lookup(u, v, scale):
+    """StoneTexture::lookup2D (Texture.cpp:396-440)."""
+    u = u * scale
+    v = v * scale
+    f0, f1, f2, id0 = _stone_worley(u, v)
+    f1f0 = (1.0 - jnp.power(jnp.maximum(f1 - f0, 1e-12), 0.8)) * 1.5
+    base = jnp.clip(jnp.power(jnp.maximum(f2 - f1 + f0, 1e-12), 0.1) - f1f0,
+                    0.0, 0.5)
+    id_mod10 = (id0 % 10).astype(jnp.float32)
+    id_mod5 = (id0 % 5).astype(jnp.float32)
+    base = base * (id_mod10 / 20.0 + 0.5)
+    turb = generate_noise(u, v, jnp.zeros_like(u), 3.0, 2.0, 0.8, 5)
+    base = jnp.maximum(0.0, base) + 0.8 * jnp.abs(turb)
+    edges = jnp.minimum(f1f0 ** 2 - 1.0, 0.75) + 0.25 * jnp.abs(turb)
+    red = base + id_mod10 / 10.0
+    green = base + (id_mod10 / 10.0) * 0.5
+    blue = base + (id_mod5 / 5.0) * 0.25
+    is_edge = f1f0 > 1.1
+    rgb = jnp.stack([jnp.where(is_edge, edges, red),
+                     jnp.where(is_edge, edges, green),
+                     jnp.where(is_edge, edges, blue)], axis=-1)
+    return rgb
+
+
+def stone_bump(u, v, scale):
+    """StoneTexture::bumpHeight2D (Texture.cpp:358-393)."""
+    u = u * scale
+    v = v * scale
+    f0, f1, _f2, id0 = _stone_worley(u, v)
+    height_factor = 0.3
+    f1f0 = -(1.0 - jnp.power(jnp.maximum(f1 - f0, 1e-12), 0.8)) * 1.5
+    height = 1.0 / (1.0 + jnp.exp(-20.0 * (f1 - f0 - 0.3)))
+    iters = (id0 % 3).astype(jnp.int32) + 5
+    z = jnp.zeros_like(u)
+    cellturb = generate_noise_dynamic(u, v, z, 0.5, 2.0, 0.5, iters, 7) / 5.0 + 0.5
+    turb = generate_noise(u, v, z, 1.0, 2.0, 0.5, 3) / 10.0 + 0.5
+    return jnp.where(f1f0 > -1.1,
+                     0.8 * cellturb + height_factor * height,
+                     1.0 * turb + height_factor * height)
+
+
+def cloud_lookup(u, v, params):
+    """CloudTexture formula (Texture.h:152-164). params rows:
+    [scale, cloudSize, density, sharpness, ambient, shadowThreshold,
+     shadowMagnitude, shadowSharpness]."""
+    scale, csize, density, sharp, ambient, sth, smag, ssharp = \
+        (params[..., i] for i in range(8))
+    su = scale * u
+    sv = scale * v
+    val = generate_noise(su, sv, jnp.zeros_like(su), 1.0 / csize, 2.0, 0.5, 15)
+    cloud = jnp.minimum(1.0, ambient + sigmoid(sharp * (val + density)))
+    shadow = smag * sigmoid(ssharp * sharp * (val - sth))
+    return (jnp.stack([cloud, cloud, jnp.ones_like(cloud)], axis=-1)
+            - shadow[..., None])
+
+
+def stem_leaf_lookup(u, v, scale):
+    """StemTexture/LeafTexture lookup (Texture.h:192-212, identical
+    bodies)."""
+    u = u * scale
+    v = v * scale
+    f, _delta, _ids = worley2(jnp.stack([u, v], axis=-1), max_order=2)
+    cells = f[..., 0] - f[..., 1]
+    noise = generate_noise(u, v, jnp.zeros_like(u), 10.0, 1.5, 0.8, 10)
+    g = 0.5 + 0.5 * (noise + 1.0) / 2.0 - 0.3 * cells
+    z = jnp.zeros_like(g)
+    return jnp.stack([z, g, z], axis=-1)
+
+
+def petal_lookup(p, pivot, radius):
+    """PetalTexture::lookup3D (Texture.cpp:447-505). p: (N,3) world."""
+    base_highlight = jnp.array([0.2, 0.0, 0.8])
+    tip_highlight = jnp.array([0.8, 0.5, 1.0])
+    base_depression = jnp.array([0.2, 0.0, 0.5])
+    tip_depression = jnp.array([0.3, 0.15, 0.75])
+    base_color = jnp.array([0.1, 0.0, 0.6])
+    tip_color = jnp.array([0.6, 0.3, 1.0])
+
+    position = p - pivot
+    r = jnp.sqrt(jnp.maximum(jnp.sum(position * position, axis=-1), 1e-30))
+    dist = (r / radius)[..., None]
+    diffuse = (1 - dist) * base_color + dist * tip_color
+    highlight = (1 - dist) * base_highlight + dist * tip_highlight
+    depression = (1 - dist) * base_depression + dist * tip_depression
+
+    north = jnp.array([0.0, 1.0, 0.0])
+    equator = jnp.array([1.0, 0.0, 0.0])
+    # NOTE: the reference normalizes `position` in place (Vector3::normalize
+    # mutates, Texture.cpp:476) *before* the acos dot products below.
+    posn = position / r[..., None]
+    phi = jnp.arccos(jnp.clip(-jnp.sum(north * posn, axis=-1), -1.0, 1.0))
+    v = phi / PI
+    theta = jnp.arccos(jnp.clip(jnp.sum(posn * equator, axis=-1),
+                                -1.0, 1.0)) / (2.0 * PI)
+    north_x_eq = jnp.cross(north, equator)
+    u = jnp.where(jnp.sum(north_x_eq * posn, axis=-1) > 0, theta, 1.0 - theta)
+
+    z = jnp.zeros_like(u)
+    turb = jnp.abs(generate_noise(u, v * 0.25, z, 4.0, 2.0, 0.9, 10))
+    high_turb = jnp.minimum(jnp.power(turb / 0.1, 0.85) * 1.5, 1.0)[..., None]
+    turb2 = jnp.abs(generate_noise(u, v, z, 4.0, 3.0, 0.9, 25))
+    low_turb = jnp.minimum(jnp.power(turb2 / 0.1, 0.85) * 1.5, 1.0)[..., None]
+    return (0.5 * (high_turb * diffuse + (1 - high_turb) * highlight)
+            + 0.5 * (low_turb * diffuse + (1 - low_turb) * depression))
+
+
+def flower_center_lookup(p, pivot, radius):
+    """FlowerCenterTexture::lookup3D (Texture.h:261-276)."""
+    d = p - pivot
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-30))
+    fraction = jnp.clip(jnp.power(dist / radius, 30.0), 0.0, 1.0)
+    max_red, max_green = 0.92, 0.71
+    min_red, min_green = 0.31, 0.18
+    red = jnp.minimum((1 - fraction) * min_red + fraction * max_red, 1.0)
+    green = jnp.minimum((1 - fraction) * min_green + fraction * max_green, 1.0)
+    return jnp.stack([red, green, jnp.full_like(red, 0.1)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Image textures
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class ImageTexture:
+    """One loaded image + its Gaussian lowres copy (LoadedTexture)."""
+    image: jax.Array       # (H, W, 3) f32, raw values (LDR already /255)
+    lowres: jax.Array      # (h, w, 3) f32 (with the reference G/B swap
+                           # when is_hdr, Texture.cpp:118-124)
+    max_intensity: jax.Array  # () f32
+    is_hdr: bool = struct.field(pytree_node=False, default=False)
+
+
+LOWRES_WIDTH = 24  # Texture.h:297
+
+
+def build_image_texture(pixels: np.ndarray, is_hdr: bool) -> ImageTexture:
+    """pixels: (H, W, 3) float32, bottom-up row order (FreeImage's
+    convention — callers flip when loading top-down formats)."""
+    h, w = pixels.shape[:2]
+    max_intensity = float(pixels.max())
+    lrh = max(int(LOWRES_WIDTH * (h / w)), 1)
+    lrw = LOWRES_WIDTH
+    bh, bw = h // lrh, w // lrw
+    lowres = np.zeros((lrh, lrw, 3), np.float32)
+    # Gaussian-weighted block accumulation (Texture.cpp:63-91)
+    yy, xx = np.meshgrid(np.arange(bh), np.arange(bw), indexing="ij")
+    for i in range(lrh):
+        for j in range(lrw):
+            block = pixels[bh * i:bh * i + bh, bw * j:bw * j + bw]
+            mid_x, mid_y = bw // 2, bh // 2
+            g = (1.0 / (2.0 * np.pi)
+                 * np.exp(-((xx[:block.shape[0], :block.shape[1]] - mid_x) ** 2
+                            + (yy[:block.shape[0], :block.shape[1]] - mid_y) ** 2)
+                          / 2.0))
+            lowres[i, j] = (g[..., None] * block).sum(axis=(0, 1))
+    if is_hdr:
+        lowres = lowres[..., [0, 2, 1]]  # reference G/B swap on float write
+    return ImageTexture(image=jnp.asarray(pixels, jnp.float32),
+                        lowres=jnp.asarray(lowres),
+                        is_hdr=bool(is_hdr),
+                        max_intensity=jnp.float32(max_intensity))
+
+
+def load_image_texture(path: str) -> ImageTexture:
+    """Load a PNG/JPG (LDR) or Radiance .hdr (float) file."""
+    import imageio.v3 as iio
+    arr = np.asarray(iio.imread(path))
+    is_hdr = arr.dtype in (np.float32, np.float64, np.float16)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    arr = arr[..., :3].astype(np.float32)
+    if not is_hdr:
+        arr = arr / 255.0
+    # imageio loads top-down; FreeImage scanlines are bottom-up and the
+    # reference indexes with v*h directly -> flip to bottom-up.
+    arr = arr[::-1]
+    return build_image_texture(np.ascontiguousarray(arr), is_hdr)
+
+
+def image_lookup(tex: ImageTexture, u, v, lowres: bool = False):
+    """LoadedTexture::lookup (Texture.cpp:161-185): truncate-then-wrap
+    bilinear, tonemap after interpolation when HDR."""
+    bm = tex.lowres if lowres else tex.image
+    h, w = bm.shape[0], bm.shape[1]
+    px = w * u
+    py = h * v
+    x1 = jnp.trunc(px).astype(jnp.int32)
+    x2 = (x1 + 1) % w
+    x1 = x1 % w
+    x1e = px - x1.astype(px.dtype)       # reference: error vs wrapped x1
+    y1 = jnp.trunc(py).astype(jnp.int32)
+    y2 = (y1 + 1) % h
+    y1 = y1 % h
+    y1e = py - y1.astype(py.dtype)
+    x1 = jnp.clip(x1, 0, w - 1); x2 = jnp.clip(x2, 0, w - 1)
+    y1 = jnp.clip(y1, 0, h - 1); y2 = jnp.clip(y2, 0, h - 1)
+    f = ((bm[y1, x1] * (1 - x1e)[..., None] + bm[y1, x2] * x1e[..., None])
+         * (1 - y1e)[..., None]
+         + (bm[y2, x1] * (1 - x1e)[..., None] + bm[y2, x2] * x1e[..., None])
+         * y1e[..., None])
+    if tex.is_hdr:
+        f = jnp.minimum(jnp.power(jnp.maximum(f, 0.0)
+                                  / tex.max_intensity, 0.5) * 1.5, 1.0)
+    return f
+
+
+# ---------------------------------------------------------------------------
+# Environment map
+# ---------------------------------------------------------------------------
+
+class Environment(NamedTuple):
+    """Scene environment: image map, procedural cloud, or flat bg."""
+    image: Optional[ImageTexture]    # None => procedural/bg
+    cloud_params: Optional[jax.Array]  # (8,) CloudTexture params or None
+    rotation: jax.Array              # (2,) phi/theta offsets (Scene.h env rot)
+    bg_color: jax.Array              # (3,)
+
+
+def make_environment(image: Optional[ImageTexture] = None,
+                     cloud_params=None,
+                     rotation=(0.0, 0.0),
+                     bg_color=(0.0, 0.0, 0.0)) -> Environment:
+    return Environment(
+        image=image,
+        cloud_params=(None if cloud_params is None
+                      else jnp.asarray(cloud_params, jnp.float32)),
+        rotation=jnp.asarray(rotation, jnp.float32),
+        bg_color=jnp.asarray(bg_color, jnp.float32))
+
+
+def env_lookup(env: Environment, d: jax.Array, is_diffuse: jax.Array):
+    """Scene::getEnvironmentMap (Scene.cpp:657-688). d: (N,3) unit ray
+    directions; is_diffuse: (N,) bool selects the lowres copy."""
+    shape = d.shape[:-1]
+    if env.image is None and env.cloud_params is None:
+        return jnp.broadcast_to(env.bg_color, shape + (3,))
+    phi = jnp.arctan2(d[..., 0], d[..., 2]) + env.rotation[0] + PI
+    theta = jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) + env.rotation[1]
+    over = theta > PI / 2.0
+    phi = jnp.where(over, phi + PI, phi)
+    theta = jnp.where(over, theta - 2.0 * (theta - PI / 2.0), theta)
+    phi = jnp.where(phi > 2.0 * PI, phi - 2.0 * PI, phi)
+    u = phi / (2.0 * PI)
+    v = theta / PI + 0.5
+    if env.image is not None:
+        hi = image_lookup(env.image, u, v, lowres=False)
+        lo = image_lookup(env.image, u, v, lowres=True)
+        return jnp.where(is_diffuse[..., None], lo, hi)
+    params = jnp.broadcast_to(env.cloud_params, shape + (8,))
+    return cloud_lookup(u, v, params)
+
+
+# ---------------------------------------------------------------------------
+# Per-wavefront dispatch: diffuse color + bump height by material id
+# ---------------------------------------------------------------------------
+
+def active_kinds(mat: MaterialTable) -> tuple[int, ...]:
+    """Host-side: which texture kinds the table actually uses (static)."""
+    kinds = np.unique(np.asarray(mat.texture_kind))
+    return tuple(int(k) for k in kinds)
+
+
+def diffuse_color(mat: MaterialTable, images: Sequence[ImageTexture],
+                  mid: jax.Array, uv: jax.Array, p: jax.Array,
+                  kinds: Optional[tuple[int, ...]] = None) -> jax.Array:
+    """Material::diffuse2D/diffuse3D dispatch (Phong.cpp:51-56).
+
+    mid: (N,) material ids; uv: (N,2) object UVs; p: (N,3) world hit
+    points (3D textures use world position as coordinates). `kinds`
+    restricts evaluation to texture kinds present in the scene (pass
+    active_kinds(mat) — a static tuple — to avoid paying for unused
+    procedural stacks).
+    """
+    if kinds is None:
+        kinds = (TEX_CONSTANT, TEX_CHECKER, TEX_STONE)
+    kind = mat.texture_kind[mid]
+    params = mat.texture_params[mid]
+    u, v = uv[..., 0], uv[..., 1]
+    out = jnp.zeros(mid.shape + (3,), dtype=jnp.float32)
+
+    if TEX_CONSTANT in kinds:
+        out = jnp.where((kind == TEX_CONSTANT)[..., None], mat.kd[mid], out)
+    if TEX_CHECKER in kinds:
+        c = checker_lookup(u, v, params[..., 0], mat.kd[mid],
+                           mat.texture_color2[mid])
+        out = jnp.where((kind == TEX_CHECKER)[..., None], c, out)
+    if TEX_STONE in kinds:
+        c = stone_lookup(u, v, params[..., 0])
+        out = jnp.where((kind == TEX_STONE)[..., None], c, out)
+    if TEX_CLOUD in kinds:
+        c = cloud_lookup(p[..., 0], p[..., 1], params[..., :8])
+        out = jnp.where((kind == TEX_CLOUD)[..., None], c, out)
+    if TEX_STEM in kinds:
+        c = stem_leaf_lookup(u, v, params[..., 0])
+        out = jnp.where((kind == TEX_STEM)[..., None], c, out)
+    if TEX_LEAF in kinds:
+        c = stem_leaf_lookup(p[..., 0], p[..., 1], params[..., 0])
+        out = jnp.where((kind == TEX_LEAF)[..., None], c, out)
+    if TEX_PETAL in kinds:
+        c = petal_lookup(p, params[..., 1:4], params[..., 0])
+        out = jnp.where((kind == TEX_PETAL)[..., None], c, out)
+    if TEX_FLOWER_CENTER in kinds:
+        c = flower_center_lookup(p, params[..., 1:4], params[..., 0])
+        out = jnp.where((kind == TEX_FLOWER_CENTER)[..., None], c, out)
+    if TEX_IMAGE in kinds:
+        for img_id, tex in enumerate(images):
+            c = image_lookup(tex, u, v)
+            sel = (kind == TEX_IMAGE) & (mat.image_id[mid] == img_id)
+            out = jnp.where(sel[..., None], c, out)
+    return out
+
+
+def bump_height(mat: MaterialTable, mid: jax.Array, uv: jax.Array,
+                kinds: Optional[tuple[int, ...]] = None) -> jax.Array:
+    """Material::bumpHeight2D dispatch. Only StoneTexture has nonzero
+    bump in the reference (Texture.cpp:358-393)."""
+    if kinds is None or TEX_STONE in kinds:
+        kind = mat.texture_kind[mid]
+        params = mat.texture_params[mid]
+        h = stone_bump(uv[..., 0], uv[..., 1], params[..., 0])
+        return jnp.where(kind == TEX_STONE, h, 0.0)
+    return jnp.zeros(mid.shape, jnp.float32)
+
+
+def has_bump(mat: MaterialTable) -> bool:
+    """Host-side: does any material have a bump map (static)."""
+    return bool(np.any(np.asarray(mat.texture_kind) == TEX_STONE))

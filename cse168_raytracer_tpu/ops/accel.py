@@ -1,0 +1,282 @@
+"""Block-AABB acceleration: the TPU-native replacement for the
+reference's recursive SAH BVH (BVH.cpp:60-339 build, 438-658 traversal).
+
+Design (instead of a pointer-chasing tree walk, which fights SIMD):
+
+1. *Build* (host/numpy): triangles are sorted by the Morton code of
+   their centroid (the LBVH ordering — spatially coherent), grouped
+   into fixed blocks of BLOCK tris, and each block gets an AABB; blocks
+   are further grouped into super-blocks of GROUP blocks with their own
+   AABB. This is a shallow implicit 2-level BVH whose leaves are
+   exactly the MXU-shaped triangle packets (the reference packs 4-wide
+   SSE leaf caches, BVH.cpp:91-166; ours are 128-wide).
+
+2. *Traversal*: rays are processed in tiles of TILE rays (camera tiles
+   are spatially coherent, shadow rays converge on a light — the same
+   coherence the reference exploits with near-to-far packet descent).
+   A lax.scan walks super-blocks; a ray-tile tests the super-AABB and
+   skips all its blocks with lax.cond when no ray in the tile can hit
+   it closer than its current best. Surviving blocks run the
+   (TILE, 6) @ (6, 3*BLOCK) Pluecker matmul from ops/intersect.py.
+
+This keeps everything fixed-shape and compiles to one fused loop; the
+Pallas kernel in ops/pallas_intersect.py implements the same structure
+with explicit VMEM control for the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cse168_raytracer_tpu.config import EPSILON, MIRO_TMAX
+from cse168_raytracer_tpu.models.geometry import (PlanePool, SpherePool,
+                                                  TrianglePack,
+                                                  build_pack_from_arrays)
+from cse168_raytracer_tpu.ops.intersect import (Hit, PRIM_NONE, PRIM_TRI,
+                                                _BIG, _DEN_TINY, _merge,
+                                                _ray4, _ray6,
+                                                intersect_planes,
+                                                intersect_spheres)
+
+BLOCK = 128   # triangles per leaf block (one MXU tile of columns)
+GROUP = 8     # blocks per super-block
+TILE = 2048   # rays per traversal tile
+
+_FAR = 1.0e30  # sentinel AABB for empty blocks (never hit)
+
+
+class BlockAccel(NamedTuple):
+    block_lo: jax.Array   # (NB, 3)
+    block_hi: jax.Array   # (NB, 3)
+    group_lo: jax.Array   # (NG, 3)
+    group_hi: jax.Array   # (NG, 3)
+
+    @property
+    def num_blocks(self) -> int:
+        return self.block_lo.shape[0]
+
+
+def morton_order(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                 valid: np.ndarray) -> np.ndarray:
+    """Permutation sorting valid triangles by 30-bit Morton code of the
+    centroid (GPU-LBVH ordering); invalid (padding) tris go last."""
+    cent = v0 + (e1 + e2) / 3.0
+    lo = cent[valid].min(axis=0) if valid.any() else np.zeros(3)
+    hi = cent[valid].max(axis=0) if valid.any() else np.ones(3)
+    q = ((cent - lo) / np.maximum(hi - lo, 1e-12) * 1023.0)
+    q = np.clip(q, 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = (spread(q[:, 0]) << np.uint64(2)) | (spread(q[:, 1]) << np.uint64(1)) \
+        | spread(q[:, 2])
+    code = np.where(valid, code, np.uint64(0xFFFFFFFFFFFF))
+    return np.argsort(code, kind="stable")
+
+
+def reorder_pack(pack: TrianglePack, perm: np.ndarray) -> TrianglePack:
+    """Permute all per-triangle arrays (and rebuild the matmul
+    operands so they stay consistent)."""
+    g = lambda a: np.asarray(a)[perm]
+    return build_pack_from_arrays(
+        g(pack.v0), g(pack.e1), g(pack.e2),
+        g(pack.n0), g(pack.n1), g(pack.n2),
+        g(pack.t0), g(pack.t1), g(pack.t2),
+        g(pack.has_uv), g(pack.material_id), g(pack.valid))
+
+
+def build_accel(pack: TrianglePack):
+    """Build block/group AABBs for a Morton-ORDERED pack. Use
+    `attach_accel` to do ordering + build in one step."""
+    v0 = np.asarray(pack.v0, np.float64)
+    e1 = np.asarray(pack.e1, np.float64)
+    e2 = np.asarray(pack.e2, np.float64)
+    valid = np.asarray(pack.valid)
+    t = v0.shape[0]
+    assert t % BLOCK == 0
+    nb = t // BLOCK
+    pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)        # (T, 3pts, 3)
+    pts_lo = np.where(valid[:, None], pts.min(axis=1), _FAR)
+    pts_hi = np.where(valid[:, None], pts.max(axis=1), _FAR)
+    blo = pts_lo.reshape(nb, BLOCK, 3).min(axis=1)
+    bhi = pts_hi.reshape(nb, BLOCK, 3).max(axis=1)
+    # empty blocks: min=_FAR, but hi may be _FAR too — keep degenerate
+    bhi = np.where(blo >= _FAR, _FAR, bhi)
+
+    ng = -(-nb // GROUP)
+    pad = ng * GROUP - nb
+    if pad:
+        blo_p = np.concatenate([blo, np.full((pad, 3), _FAR)])
+        bhi_p = np.concatenate([bhi, np.full((pad, 3), _FAR)])
+    else:
+        blo_p, bhi_p = blo, bhi
+    glo = blo_p.reshape(ng, GROUP, 3).min(axis=1)
+    ghi = bhi_p.reshape(ng, GROUP, 3).max(axis=1)
+    ghi = np.where(glo >= _FAR, _FAR, ghi)
+
+    return BlockAccel(block_lo=jnp.asarray(blo_p, jnp.float32),
+                      block_hi=jnp.asarray(bhi_p, jnp.float32),
+                      group_lo=jnp.asarray(glo, jnp.float32),
+                      group_hi=jnp.asarray(ghi, jnp.float32))
+
+
+def attach_accel(scene):
+    """Morton-order the scene's triangles and attach a BlockAccel.
+    Returns the updated Scene."""
+    pack = scene.tris
+    perm = morton_order(np.asarray(pack.v0), np.asarray(pack.e1),
+                        np.asarray(pack.e2), np.asarray(pack.valid))
+    pack = reorder_pack(pack, perm)
+    accel = build_accel(pack)
+    return scene.replace(tris=pack, accel=accel)
+
+
+def _slab(o, d_rcp, lo, hi, tmin, tmax):
+    """Ray-AABB slab test (BVH.cpp:513-584 semantics). o: (N,3),
+    d_rcp: (N,3); lo/hi: (3,) or (N,3). Returns (N,) bool."""
+    t0 = (lo - o) * d_rcp
+    t1 = (hi - o) * d_rcp
+    # NaN from 0*inf -> treat as always-pass for that axis (reference
+    # inherits x86 min/max NaN semantics; this is the safe direction)
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    tn = jnp.where(jnp.isnan(tn), -jnp.inf, tn)
+    tf = jnp.where(jnp.isnan(tf), jnp.inf, tf)
+    enter = jnp.maximum(jnp.max(tn, axis=-1), tmin)
+    exit_ = jnp.minimum(jnp.min(tf, axis=-1), tmax)
+    return enter <= exit_
+
+
+def accel_intersect_triangles(accel: BlockAccel, pack: TrianglePack,
+                              o: jax.Array, d: jax.Array, tmin, tmax) -> Hit:
+    """Closest-hit against Morton-ordered triangle blocks with
+    group/block AABB culling. Rays are processed in TILE-sized tiles."""
+    n = o.shape[0]
+    t_total = pack.num_tris
+    nb = accel.num_blocks
+    ng = accel.group_lo.shape[0]
+
+    tile = min(TILE, n)
+    n_tiles = -(-n // tile)
+    n_pad = n_tiles * tile
+
+    def pad(x, fill=0.0):
+        if n_pad == n:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
+
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, o.dtype), (n,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, o.dtype), (n,))
+    o_p = pad(o).reshape(n_tiles, tile, 3)
+    d_p = pad(d, 1.0).reshape(n_tiles, tile, 3)
+    tmin_p = pad(tmin).reshape(n_tiles, tile)
+    tmax_p = pad(tmax, -1.0).reshape(n_tiles, tile)  # padding rays: tmax<tmin
+
+    # accel block list may be padded past the pack (group rounding);
+    # padded blocks have AABB=_FAR and never pass the slab test, but the
+    # data index is clamped anyway.
+    real_nb = t_total // BLOCK
+    w6 = pack.w6.reshape(6, real_nb, BLOCK, 3)
+    valid_b = pack.valid.reshape(real_nb, BLOCK)
+
+    def tile_body(_, ray_tile):
+        o_t, d_t, tmin_t, tmax_t = ray_tile
+        r6 = _ray6(o_t, d_t)
+        r4 = _ray4(o_t)
+        d_rcp = 1.0 / d_t
+
+        def group_body(carry, gi):
+            best_t, best_id = carry
+            cur_max = jnp.minimum(tmax_t, best_t)
+            ghit = _slab(o_t, d_rcp, accel.group_lo[gi], accel.group_hi[gi],
+                         tmin_t, cur_max)
+
+            def visit(carry):
+                best_t, best_id = carry
+
+                def block_step(carry, bj):
+                    best_t, best_id = carry
+                    bi = gi * GROUP + bj
+                    cur = jnp.minimum(tmax_t, best_t)
+                    bhit = _slab(o_t, d_rcp, accel.block_lo[bi],
+                                 accel.block_hi[bi], tmin_t, cur)
+
+                    def test(carry):
+                        best_t, best_id = carry
+                        bic = jnp.minimum(bi, real_nb - 1)
+                        w6b = jax.lax.dynamic_index_in_dim(
+                            w6, bic, axis=1, keepdims=False)  # (6,BLOCK,3)
+                        vb = jax.lax.dynamic_index_in_dim(
+                            valid_b, bic, axis=0, keepdims=False)
+                        w4b = jax.lax.dynamic_index_in_dim(
+                            pack.w4.reshape(4, real_nb, BLOCK), bic,
+                            axis=1, keepdims=False)
+                        nums = jnp.dot(r6, w6b.reshape(6, BLOCK * 3),
+                                       preferred_element_type=jnp.float32)
+                        nums = nums.reshape(tile, BLOCK, 3)
+                        t_num = jnp.dot(r4, w4b,
+                                        preferred_element_type=jnp.float32)
+                        den = nums[:, :, 2]
+                        safe_den = jnp.where(jnp.abs(den) < _DEN_TINY, 1.0, den)
+                        inv_den = 1.0 / safe_den
+                        beta = nums[:, :, 0] * inv_den
+                        gamma = nums[:, :, 1] * inv_den
+                        t = t_num * inv_den
+                        ok = ((beta >= -EPSILON) & (gamma >= -EPSILON)
+                              & (beta + gamma <= 1.0 + EPSILON)
+                              & (t >= tmin_t[:, None]) & (t <= cur[:, None])
+                              & (jnp.abs(den) >= _DEN_TINY) & vb[None, :])
+                        tm = jnp.where(ok, t, _BIG)
+                        bmin = jnp.min(tm, axis=1)
+                        barg = (jnp.argmin(tm, axis=1).astype(jnp.int32)
+                                + bic * BLOCK)
+                        better = bmin < best_t
+                        return (jnp.where(better, bmin, best_t),
+                                jnp.where(better, barg, best_id))
+
+                    return jax.lax.cond(jnp.any(bhit), test,
+                                        lambda c: c, (best_t, best_id)), None
+
+                (best_t, best_id), _ = jax.lax.scan(
+                    block_step, (best_t, best_id),
+                    jnp.arange(GROUP, dtype=jnp.int32))
+                return best_t, best_id
+
+            carry = jax.lax.cond(jnp.any(ghit), visit, lambda c: c,
+                                 (best_t, best_id))
+            return carry, None
+
+        init = (jnp.full((tile,), _BIG), jnp.zeros((tile,), jnp.int32))
+        (best_t, best_id), _ = jax.lax.scan(
+            group_body, init, jnp.arange(ng, dtype=jnp.int32))
+        return None, (best_t, best_id)
+
+    _, (bt, bid) = jax.lax.scan(
+        tile_body, None, (o_p, d_p, tmin_p, tmax_p))
+    best_t = bt.reshape(n_pad)[:n]
+    best_id = bid.reshape(n_pad)[:n]
+    hit = best_t < _BIG
+    return Hit(t=best_t, prim_type=jnp.where(hit, PRIM_TRI, PRIM_NONE),
+               prim_id=best_id, hit=hit)
+
+
+def accel_closest_hit(accel: BlockAccel, tris: TrianglePack,
+                      spheres: SpherePool, planes: PlanePool,
+                      o: jax.Array, d: jax.Array, tmin=0.0,
+                      tmax=MIRO_TMAX) -> Hit:
+    """Scene::trace with acceleration: culled triangle pass, then the
+    unbounded lists (Scene.cpp:214-231)."""
+    h = accel_intersect_triangles(accel, tris, o, d, tmin, tmax)
+    h = _merge(h, intersect_spheres(spheres, o, d, tmin, tmax))
+    h = _merge(h, intersect_planes(planes, o, d, tmin, tmax))
+    return h

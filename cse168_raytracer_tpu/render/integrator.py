@@ -1,0 +1,268 @@
+"""Wavefront integrator — the TPU-native replacement for the recursive
+Scene::traceScene (Scene.cpp:270-346).
+
+The reference recurses depth-first per pixel: shade, then follow a
+reflection branch (weight ks), and for refractive materials BOTH a
+Fresnel-reflection branch (weight kt*Rs when Rs > 0.01) and a
+refraction branch (weight kt*(1-Rs)). Recursion depth TRACE_DEPTH.
+
+Here each recursion level is a fixed-capacity SoA wavefront advanced
+under lax.scan:
+
+  state: (origin, dir, weight rgb, pixel id, alive)
+  per level:  closest-hit -> NEE shading -> photon-map irradiance on
+              diffuse hits -> env-map on miss, all scatter-added into a
+              per-pixel radiance buffer; then each ray spawns up to two
+              children:
+                mirror child  w *= ks + kt*Rs*[Rs>0.01]   (merged: the
+                  reference's separate ks-reflection and Fresnel-
+                  reflection rays have the same direction in Whitted
+                  mode — merging is exact; in path-traced mode it is a
+                  1-sample estimate of the same sum)
+                refract child w *= kt*(1-Rs)   (TIR falls back to the
+                  mirror direction inside refract(), Ray.h:224-227)
+              children are stream-compacted into the next level's pool
+              (capacity C, overflow dropped and counted).
+
+Path-tracing mode (-DPATH_TRACING) additionally importance-samples the
+glossy Phong lobe about the mirror/refracted directions with exponent
+`shininess` (Ray.h:149-158, 235-242). There is NO diffuse bounce for
+camera rays in either mode — diffuse interreflection comes exclusively
+from the photon map (Scene.cpp:286-299), exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cse168_raytracer_tpu.config import EPSILON, RenderConfig
+from cse168_raytracer_tpu.core.sampling import phong_lobe
+from cse168_raytracer_tpu.core.vecmath import (fresnel_rs, reflect, refract,
+                                               safe_normalize)
+from cse168_raytracer_tpu.models.scene import Scene, SceneStatic
+from cse168_raytracer_tpu.models.textures import env_lookup
+from cse168_raytracer_tpu.ops.shading import shade_direct, trace_closest
+from cse168_raytracer_tpu.render.camera import Camera, eye_rays
+
+
+class Wavefront(NamedTuple):
+    o: jax.Array        # (C, 3)
+    d: jax.Array        # (C, 3)
+    weight: jax.Array   # (C, 3)
+    pixel: jax.Array    # (C,) i32
+    alive: jax.Array    # (C,) bool
+
+
+class RenderStats(NamedTuple):
+    """On-device counters (Stats.h equivalents, SURVEY.md #29)."""
+    primary_rays: jax.Array
+    secondary_rays: jax.Array
+    shadow_rays: jax.Array
+    dropped_rays: jax.Array   # pool-overflow children (no ref equivalent)
+
+
+def _pad_wavefront(o, d, weight, pixel, capacity: int) -> Wavefront:
+    n = o.shape[0]
+    pad = capacity - n
+    assert pad >= 0
+    if pad:
+        z3 = jnp.zeros((pad, 3), o.dtype)
+        o = jnp.concatenate([o, z3])
+        d = jnp.concatenate([d, jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], o.dtype), (pad, 3))])
+        weight = jnp.concatenate([weight, z3])
+        pixel = jnp.concatenate([pixel, jnp.zeros((pad,), jnp.int32)])
+    alive = jnp.arange(capacity) < n
+    return Wavefront(o=o, d=d, weight=weight, pixel=pixel, alive=alive)
+
+
+def _compact(cands: Wavefront, capacity: int):
+    """Stream-compact alive candidate rays into a fresh pool.
+
+    cands arrays have leading dim K >= capacity. Returns (Wavefront,
+    dropped_count). Fixed shapes: scatter with mode='drop'.
+    """
+    alive = cands.alive
+    idx = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    dest = jnp.where(alive & (idx < capacity), idx, capacity)
+    dropped = jnp.sum((alive & (idx >= capacity)).astype(jnp.int32))
+
+    def scat(x):
+        init = jnp.zeros((capacity,) + x.shape[1:], x.dtype)
+        return init.at[dest].set(x, mode="drop")
+
+    slot_alive = jnp.arange(capacity) < jnp.sum(alive.astype(jnp.int32))
+    d = scat(cands.d)
+    d = jnp.where(slot_alive[:, None], d,
+                  jnp.array([0.0, 0.0, 1.0], d.dtype))  # placeholder dir
+    nw = Wavefront(o=scat(cands.o), d=d, weight=scat(cands.weight),
+                   pixel=scat(cands.pixel.astype(jnp.int32)),
+                   alive=slot_alive)
+    return nw, dropped
+
+
+def integrate(scene: Scene, static: SceneStatic, o: jax.Array, d: jax.Array,
+              pixel: jax.Array, n_pixels: int, key: jax.Array,
+              depth: int, path_tracing: bool,
+              capacity: Optional[int] = None,
+              collect_stats: bool = False,
+              disable_shadows: bool = False):
+    """Trace a primary wavefront to completion.
+
+    o, d: (N, 3) primary rays; pixel: (N,) pixel ids in [0, n_pixels).
+    Returns (radiance (n_pixels, 3) — SUM over the wavefront (caller
+    divides by spp), RenderStats).
+    """
+    n0 = o.shape[0]
+    if capacity is None:
+        capacity = n0 * (2 if static.any_refractive else 1)
+    capacity = max(capacity, n0)
+
+    radiance = jnp.zeros((n_pixels, 3), jnp.float32)
+    wf = _pad_wavefront(o, d, jnp.ones((n0, 3), jnp.float32),
+                        pixel.astype(jnp.int32), capacity)
+
+    shininess = scene.materials.shininess
+    ior_t = scene.materials.ior
+    ks_t = scene.materials.ks
+    kt_t = scene.materials.kt
+
+    def level_body(carry, level_key):
+        # skip whole levels once the wavefront is dead (all-diffuse
+        # scenes die after level 0; the reference's recursion just
+        # doesn't recurse — this is the wavefront equivalent)
+        return jax.lax.cond(jnp.any(carry[0].alive),
+                            lambda c: _live_level(c, level_key),
+                            lambda c: c, carry), None
+
+    def _live_level(carry, level_key):
+        wf, radiance, sec, shad, drop = carry
+        hit, surf = trace_closest(scene, static, wf.o, wf.d)
+        live_hit = wf.alive & hit.hit
+        k_shade, k_lobe1, k_lobe2 = jax.random.split(level_key, 3)
+
+        direct, _tex, n_sh = shade_direct(scene, static, wf.d, surf, k_shade,
+                                          disable_shadows=disable_shadows)
+        contrib = direct
+
+        if scene.photons is not None:
+            from cse168_raytracer_tpu.ops.photon import irradiance_estimate
+            from cse168_raytracer_tpu.models.materials import is_diffuse
+            diff_mask = is_diffuse(scene.materials, surf.material_id)
+            irr = irradiance_estimate(scene.photons, surf.p, surf.n)
+            contrib = contrib + jnp.where(diff_mask[:, None], irr, 0.0)
+
+        # env on miss (Scene.cpp:338-342); camera rays never carry the
+        # isDiffuse flag (Ray.h:119,137 is only set on photon bounces)
+        env = env_lookup(scene.env, wf.d, jnp.zeros(capacity, bool))
+        add = jnp.where(live_hit[:, None], contrib,
+                        jnp.where(wf.alive[:, None], env, 0.0))
+        radiance = radiance.at[wf.pixel].add(wf.weight * add, mode="drop")
+
+        # ---- children ----
+        mid = surf.material_id
+        n = surf.n
+        ks = ks_t[mid]
+        kt = kt_t[mid]
+        ior = ior_t[mid]
+        shin = shininess[mid]
+
+        refl_flag = jnp.any(ks > 0, axis=-1)
+        refr_flag = jnp.any(kt > 0, axis=-1)
+
+        rs = fresnel_rs(wf.d, n, ior)
+        mirror_w = (jnp.where(refl_flag[:, None], ks, 0.0)
+                    + jnp.where((refr_flag & (rs > 0.01))[:, None],
+                                kt * rs[:, None], 0.0))
+        refr_d, _tir = refract(wf.d, n, ior)
+        refr_w = jnp.where(refr_flag[:, None], kt * (1.0 - rs[:, None]), 0.0)
+
+        mirror_d = safe_normalize(reflect(wf.d, n))
+        if path_tracing:
+            # glossy perturbation about each axis (Ray.h:149-158, 235-242)
+            mirror_d, _ = phong_lobe(k_lobe1, mirror_d, shin)
+            refr_d, _ = phong_lobe(k_lobe2, safe_normalize(refr_d), shin)
+        else:
+            refr_d = safe_normalize(refr_d)
+
+        def child(dir_c, w_c):
+            w = wf.weight * w_c
+            return Wavefront(
+                o=surf.p + dir_c * EPSILON,   # Ray.h:91/162/241 offset
+                d=dir_c,
+                weight=w,
+                pixel=wf.pixel,
+                alive=live_hit & jnp.any(w > 0, axis=-1),
+            )
+
+        c1 = child(mirror_d, mirror_w)
+        c2 = child(refr_d, refr_w)
+        cands = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), c1, c2)
+        new_wf, dropped = _compact(cands, capacity)
+
+        sec = sec + jnp.sum(new_wf.alive.astype(jnp.int32))
+        shad = shad + n_sh * jnp.sum(live_hit.astype(jnp.int32))
+        drop = drop + dropped
+        return (new_wf, radiance, sec, shad, drop)
+
+    keys = jax.random.split(key, depth + 1)
+    zero = jnp.int32(0)
+    (wf, radiance, sec, shad, drop), _ = jax.lax.scan(
+        level_body, (wf, radiance, zero, zero, zero), keys)
+
+    stats = RenderStats(primary_rays=jnp.int32(n0), secondary_rays=sec,
+                        shadow_rays=shad, dropped_rays=drop)
+    return radiance, stats
+
+
+def render_hdr(scene: Scene, static: SceneStatic, cam: Camera,
+               cfg: RenderConfig, key: jax.Array):
+    """Scene::raytraceImage pre-tonemap phase (Scene.cpp:93-173).
+
+    Returns ((H, W, 3) linear HDR radiance, RenderStats). Row 0 is the
+    BOTTOM scanline (the reference's Image layout).
+    """
+    w, h = cfg.width, cfg.height
+    n_pix = w * h
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    xs = xs.reshape(-1)
+    ys = ys.reshape(-1)
+    pixel = (ys * w + xs).astype(jnp.int32)
+
+    sampled = cfg.path_tracing or cfg.dof
+    if not sampled:
+        o, d = eye_rays(cam, xs, ys, w, h, key=None)
+        radiance, stats = integrate(
+            scene, static, o, d, pixel, n_pix, key,
+            cfg.trace_depth, path_tracing=False,
+            collect_stats=cfg.collect_stats,
+            disable_shadows=cfg.disable_shadows)
+        return radiance.reshape(h, w, 3), stats
+
+    spp = cfg.trace_samples
+
+    def sample_body(carry, skey):
+        acc, sec, shad, drop = carry
+        k_cam, k_int = jax.random.split(skey)
+        o, d = eye_rays(cam, xs, ys, w, h, key=k_cam,
+                        dof_aperture=cfg.dof_aperture if cfg.dof else 0.0,
+                        dof_focus=cfg.dof_focus_plane)
+        r, st = integrate(scene, static, o, d, pixel, n_pix, k_int,
+                          cfg.trace_depth, path_tracing=cfg.path_tracing,
+                          collect_stats=cfg.collect_stats,
+                          disable_shadows=cfg.disable_shadows)
+        return (acc + r, sec + st.secondary_rays, shad + st.shadow_rays,
+                drop + st.dropped_rays), None
+
+    keys = jax.random.split(key, spp)
+    zero = jnp.int32(0)
+    (acc, sec, shad, drop), _ = jax.lax.scan(
+        sample_body, (jnp.zeros((n_pix, 3), jnp.float32), zero, zero, zero),
+        keys)
+    stats = RenderStats(primary_rays=jnp.int32(n_pix * spp),
+                        secondary_rays=sec, shadow_rays=shad,
+                        dropped_rays=drop)
+    return (acc / spp).reshape(h, w, 3), stats

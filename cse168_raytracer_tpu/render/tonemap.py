@@ -1,0 +1,21 @@
+"""Tonemapping + NaN scrub (Scene.cpp:87-91, 180-202)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sigmoid_tonemap(hdr: jax.Array) -> jax.Array:
+    """The reference's final pass: NaN pixels replaced with the image
+    max intensity, then sigmoid(6v - 3) per channel (Scene.cpp:87-91,
+    187-195). hdr: (..., 3) linear radiance."""
+    finite = jnp.isfinite(hdr)
+    max_intensity = jnp.max(jnp.where(finite, hdr, -jnp.inf))
+    scrubbed = jnp.where(finite, hdr, max_intensity)
+    return 1.0 / (1.0 + jnp.exp(-(6.0 * scrubbed - 3.0)))
+
+
+def to_bytes(mapped: jax.Array) -> jax.Array:
+    """Image::setPixel float->byte clamp (Image.cpp:47-63)."""
+    return jnp.clip(mapped * 255.0, 0.0, 255.0).astype(jnp.uint8)
