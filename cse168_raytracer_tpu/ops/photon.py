@@ -1,0 +1,340 @@
+"""Photon mapping: wavefront photon tracing + fixed-radius hashed-grid
+irradiance gather.
+
+Replaces the reference's Jensen kd-tree photon map (PhotonMap.{h,cpp})
+and recursive photon tracer (Scene::tracePhotons/traceCausticPhotons/
+tracePhoton, Scene.cpp:351-655):
+
+*Tracing* (exact reference semantics):
+- only DirectionalAreaLights emit (dynamic_cast gate Scene.cpp:368,430);
+  photon power = color * wattage * pi * r^2 (caustic: /10,
+  Scene.cpp:380-385, 442-447); origin on the light disc, direction =
+  light normal (parallel beam).
+- per bounce: Russian roulette over [diffuse | reflect | refract |
+  absorb] with cumulative probabilities avg(texColor), +avg(ks),
+  +avg(kt) (Scene.cpp:544-562).
+- diffuse: store only indirect photons (depth > 1, Scene.cpp:570), then
+  continue with a cosine-weighted ray carrying texColor*power/p_d
+  (Scene.cpp:604-608). Caustic photons whose FIRST bounce is diffuse
+  die unstored (Scene.cpp:596-599).
+- reflect/refract keep full power; refraction does a Fresnel Russian
+  roulette (Scene.cpp:634-648). GLOBAL photons whose first bounce is
+  specular die (Scene.cpp:612-614,626-628 — those paths belong to the
+  caustic map).
+- depth limit TRACE_DEPTH_PHOTONS = 5 (Miro.h:14).
+- the reference's OpenMP criticals around kd-tree store disappear:
+  stores are masked scatter-appends, race-free by construction.
+
+*Gather*: instead of the kd-tree 500-NN search with unbounded radius
+(PhotonMap.cpp:152-243, irradiance = sum P/(pi r_k^2) over the k
+nearest, accepting photons with dir.normal < 0), photons are hashed
+into a uniform grid with cell size = gather radius; the irradiance
+estimate is a 27-cell fixed-radius sum  sum P / (pi r^2). The radius is
+auto-tuned at build time so the average disc holds ~PHOTON_SAMPLES
+photons, making the two estimators agree in expectation. Differentiable
+w.r.t. photon powers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from cse168_raytracer_tpu.config import EPSILON, PI, RenderConfig
+from cse168_raytracer_tpu.core.sampling import cosine_hemisphere
+from cse168_raytracer_tpu.core.vecmath import (fresnel_rs, reflect, refract,
+                                               safe_normalize)
+from cse168_raytracer_tpu.models.lights import LIGHT_DIRECTIONAL_AREA
+from cse168_raytracer_tpu.models.scene import Scene, SceneStatic
+from cse168_raytracer_tpu.models.textures import diffuse_color
+from cse168_raytracer_tpu.ops.shading import trace_closest
+
+_H1, _H2, _H3 = 73856093, 19349663, 83492791  # classic spatial-hash primes
+
+
+@struct.dataclass
+class PhotonGrid:
+    """One photon map as a hashed uniform grid (CSR by sorted hash)."""
+    pos: jax.Array          # (P, 3) photon positions (sorted by hash)
+    power: jax.Array        # (P, 3) photon powers (pre-scaled)
+    dir: jax.Array          # (P, 3) incoming directions
+    cell_hash: jax.Array    # (P,) i32 sorted hash per photon
+    radius: jax.Array       # () gather radius (= cell size)
+    n_valid: jax.Array      # () i32
+    table_size: int = struct.field(pytree_node=False, default=1 << 20)
+    max_per_cell: int = struct.field(pytree_node=False, default=64)
+
+
+@struct.dataclass
+class PhotonMaps:
+    global_map: Optional[PhotonGrid]
+    caustic_map: Optional[PhotonGrid]
+
+
+def _hash_cells(cells: jax.Array, table_size: int) -> jax.Array:
+    ix = cells[..., 0].astype(jnp.uint32) * np.uint32(_H1)
+    iy = cells[..., 1].astype(jnp.uint32) * np.uint32(_H2)
+    iz = cells[..., 2].astype(jnp.uint32) * np.uint32(_H3)
+    return ((ix ^ iy ^ iz) % np.uint32(table_size)).astype(jnp.int32)
+
+
+def build_grid(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
+               radius: float, max_per_cell: int = 64) -> PhotonGrid:
+    """Host-side grid build: hash, sort, upload."""
+    n = pos.shape[0]
+    table_size = max(1 << int(np.ceil(np.log2(max(4 * n, 16)))), 16)
+    cells = np.floor(pos / radius).astype(np.int64)
+    h = ((cells[:, 0].astype(np.uint32) * np.uint32(_H1))
+         ^ (cells[:, 1].astype(np.uint32) * np.uint32(_H2))
+         ^ (cells[:, 2].astype(np.uint32) * np.uint32(_H3))) % table_size
+    order = np.argsort(h, kind="stable")
+    return PhotonGrid(
+        pos=jnp.asarray(pos[order], jnp.float32),
+        power=jnp.asarray(power[order], jnp.float32),
+        dir=jnp.asarray(dirs[order], jnp.float32),
+        cell_hash=jnp.asarray(h[order].astype(np.int32)),
+        radius=jnp.float32(radius),
+        n_valid=jnp.int32(n),
+        table_size=int(table_size),
+        max_per_cell=max_per_cell)
+
+
+def grid_irradiance(grid: PhotonGrid, p: jax.Array, n: jax.Array) -> jax.Array:
+    """Fixed-radius irradiance estimate at points p with normals n.
+
+    For each of the 27 neighbor cells: locate the photon run via
+    searchsorted on the sorted hash array, gather up to max_per_cell
+    photons, accept those within `radius` whose direction opposes the
+    normal (PhotonMap.cpp:186), and sum power / (pi r^2).
+    """
+    r = grid.radius
+    base = jnp.floor(p / r).astype(jnp.int32)          # (N, 3)
+    offs = jnp.asarray(np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1],
+                                            [-1, 0, 1], indexing="ij"),
+                                axis=-1).reshape(27, 3).astype(np.int32))
+    cells = base[:, None, :] + offs[None, :, :]        # (N, 27, 3)
+    h = _hash_cells(cells, grid.table_size)            # (N, 27)
+
+    start = jnp.searchsorted(grid.cell_hash, h, side="left")   # (N, 27)
+    end = jnp.searchsorted(grid.cell_hash, h, side="right")
+    count = jnp.minimum(end - start, grid.max_per_cell)
+
+    k = jnp.arange(grid.max_per_cell)                  # (K,)
+    idx = start[..., None] + k                         # (N, 27, K)
+    valid = (k < count[..., None]) & (idx < grid.n_valid)
+    idx = jnp.clip(idx, 0, grid.pos.shape[0] - 1)
+
+    ppos = grid.pos[idx]                               # (N, 27, K, 3)
+    ppow = grid.power[idx]
+    pdir = grid.dir[idx]
+
+    d = ppos - p[:, None, None, :]
+    d2 = jnp.sum(d * d, axis=-1)
+    facing = jnp.sum(pdir * n[:, None, None, :], axis=-1) < 0.0
+    accept = valid & (d2 < r * r) & facing
+    total = jnp.sum(jnp.where(accept[..., None], ppow, 0.0), axis=(1, 2))
+    return total / (PI * r * r)
+
+
+def irradiance_estimate(maps: PhotonMaps, p: jax.Array,
+                        n: jax.Array) -> jax.Array:
+    """Global + caustic irradiance (Scene.cpp:294-298)."""
+    n_unit = safe_normalize(n)
+    out = jnp.zeros_like(p)
+    if maps.global_map is not None:
+        out = out + grid_irradiance(maps.global_map, p, n_unit)
+    if maps.caustic_map is not None:
+        out = out + grid_irradiance(maps.caustic_map, p, n_unit)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Photon tracing (wavefront)
+# ---------------------------------------------------------------------------
+
+class _StoredBatch(NamedTuple):
+    pos: jax.Array     # (L, N, 3) per-level stored photon positions
+    dir: jax.Array     # (L, N, 3)
+    power: jax.Array   # (L, N, 3)
+    mask: jax.Array    # (L, N) bool
+
+
+def trace_photon_batch(scene: Scene, static: SceneStatic, light_i: int,
+                       n_emit: int, caustic: bool, depth_limit: int,
+                       path_tracing: bool, key: jax.Array) -> _StoredBatch:
+    """Emit and trace n_emit photons from light light_i. Returns the
+    per-level stored-photon arrays (masked). Jit-friendly."""
+    from cse168_raytracer_tpu.models.lights import (sample_origin,
+                                                    sample_photon_direction)
+    from cse168_raytracer_tpu.core.sampling import phong_lobe
+
+    lt = scene.lights
+    mats = scene.materials
+    k_o, k_d, k_loop = jax.random.split(key, 3)
+    pos = sample_origin(lt, light_i, k_o, (n_emit,))
+    dirs = sample_photon_direction(lt, light_i, k_d, (n_emit,))
+    # power = color * wattage * pi * r^2 (/10 caustic), Scene.cpp:380-385
+    p0 = lt.color[light_i] * lt.wattage[light_i]
+    is_dir_light = lt.kind[light_i] == LIGHT_DIRECTIONAL_AREA
+    area = PI * lt.radius[light_i] ** 2
+    p0 = jnp.where(is_dir_light, p0 * area / (10.0 if caustic else 1.0), p0)
+    power = jnp.broadcast_to(p0, (n_emit, 3))
+    alive = jnp.ones((n_emit,), bool)
+
+    levels = []
+    for level in range(depth_limit + 1):
+        lk = jax.random.fold_in(k_loop, level)
+        k_rr, k_cos, k_fres, k_lobe = jax.random.split(lk, 4)
+        depth_after = level + 1
+
+        o = pos + EPSILON * dirs                        # Scene.cpp:535
+        hit, surf = trace_closest(scene, static, o, dirs)
+        live = alive & hit.hit
+
+        mid = surf.material_id
+        tex = diffuse_color(mats, scene.images, mid, surf.uv, surf.p,
+                            static.texture_kinds)
+        p_diff = jnp.mean(tex, axis=-1)                 # average()
+        p_refl = p_diff + jnp.mean(mats.ks[mid], axis=-1)
+        p_refr = p_refl + jnp.mean(mats.kt[mid], axis=-1)
+        rnd = jax.random.uniform(k_rr, (n_emit,))
+
+        take_diff = live & (rnd < p_diff)
+        take_refl = live & (rnd >= p_diff) & (rnd < p_refl)
+        take_refr = live & (rnd >= p_refl) & (rnd < p_refr)
+        # rnd > p_refr: absorbed
+
+        # --- store (diffuse, indirect only) ---
+        store = take_diff & (depth_after > 1)
+        levels.append((surf.p, dirs, power, store))
+
+        # --- first-bounce gates (Scene.cpp:596-628) ---
+        if depth_after == 1:
+            if caustic:
+                take_diff = jnp.zeros_like(take_diff)    # die unstored
+            else:
+                take_refl = jnp.zeros_like(take_refl)    # caustic-only paths
+                take_refr = jnp.zeros_like(take_refr)
+
+        # --- continuations ---
+        n_unit = safe_normalize(surf.n)
+        cos_d, _ = cosine_hemisphere(k_cos, n_unit)
+        diff_power = tex * power / jnp.maximum(p_diff, 1e-12)[:, None]
+
+        mirror = safe_normalize(reflect(dirs, n_unit))
+        ior = mats.ior[mid]
+        rs = fresnel_rs(dirs, n_unit, ior)
+        refr_d, _ = refract(dirs, n_unit, ior)
+        refr_d = safe_normalize(refr_d)
+        if path_tracing:
+            shin = mats.shininess[mid]
+            mirror, _ = phong_lobe(k_lobe, mirror, shin)
+            refr_d, _ = phong_lobe(jax.random.fold_in(k_lobe, 1),
+                                   refr_d, shin)
+        fres_reflect = jax.random.uniform(k_fres, (n_emit,)) < rs
+        refr_dir = jnp.where(fres_reflect[:, None], mirror, refr_d)
+
+        new_dir = jnp.where(take_diff[:, None], cos_d,
+                            jnp.where(take_refl[:, None], mirror, refr_dir))
+        new_power = jnp.where(take_diff[:, None], diff_power, power)
+        alive = take_diff | take_refl | take_refr
+        pos = surf.p
+        dirs = jnp.where(alive[:, None], new_dir,
+                         jnp.array([0.0, 0.0, 1.0]))
+        power = new_power
+
+    return _StoredBatch(
+        pos=jnp.stack([l[0] for l in levels]),
+        dir=jnp.stack([l[1] for l in levels]),
+        power=jnp.stack([l[2] for l in levels]),
+        mask=jnp.stack([l[3] for l in levels]))
+
+
+def _auto_radius(pos: np.ndarray, k_target: int, max_per_cell: int) -> float:
+    """Pick the gather radius so a typical r-disc holds about
+    min(k_target, 4*max_per_cell) photons — approximating the
+    reference's k-NN estimate (k = PHOTON_SAMPLES = 500, Miro.h:17)
+    with the fixed-radius gather, while keeping the per-cell candidate
+    cap effective.
+
+    Method: subsample m photons, take each one's distance to its
+    ceil(k*m/n)-th nearest neighbor within the subsample (density
+    scales linearly, so the k'th-NN radius in an m-subsample matches
+    the (k*n/m)'th-NN radius in the full set), and use the median."""
+    n = pos.shape[0]
+    if n < 8:
+        return 1.0
+    k_eff = int(min(k_target, 4 * max_per_cell))
+    m = int(min(n, 4000))
+    rng = np.random.RandomState(0)
+    sub = pos[rng.choice(n, m, replace=False)].astype(np.float64)
+    k_sub = max(1, int(round(k_eff * m / n)))
+    k_sub = min(k_sub, m - 1)
+    d2 = ((sub[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
+    kth = np.sqrt(np.partition(d2, k_sub, axis=1)[:, k_sub])
+    r = float(np.median(kth))
+    diag = float(np.linalg.norm(pos.max(0) - pos.min(0))) or 1.0
+    return float(np.clip(r, 1e-4 * diag, 0.1 * diag))
+
+
+def build_photon_maps(scene: Scene, static: SceneStatic, cfg: RenderConfig,
+                      key: jax.Array,
+                      path_tracing: Optional[bool] = None) -> Optional[PhotonMaps]:
+    """Scene::tracePhotons + traceCausticPhotons: emit batches until the
+    stored-photon target is reached, scale powers by 1/total_emitted
+    (Scene.cpp:402), build the hashed grids."""
+    if path_tracing is None:
+        path_tracing = cfg.path_tracing
+    kinds = np.asarray(scene.lights.kind)
+    emitters = [i for i in range(kinds.shape[0])
+                if kinds[i] == LIGHT_DIRECTIONAL_AREA]
+    if not emitters:
+        return None
+
+    batch = 10000                                     # Scene.cpp:375
+    maps = {}
+    for caustic, target in ((False, cfg.photons_per_light),
+                            (True, cfg.caustic_photons_per_light)):
+        if target <= 0:
+            maps[caustic] = None
+            continue
+        fn = jax.jit(trace_photon_batch,
+                     static_argnames=("static", "light_i", "n_emit",
+                                      "caustic", "depth_limit",
+                                      "path_tracing"))
+        all_pos, all_dir, all_pow = [], [], []
+        total_emitted = 0
+        stored = 0
+        for li in emitters:
+            li_stored = 0
+            it = 0
+            while li_stored < target and it < 200:
+                key, sk = jax.random.split(key)
+                out = fn(scene, static=static, light_i=li, n_emit=batch,
+                         caustic=caustic,
+                         depth_limit=cfg.trace_depth_photons,
+                         path_tracing=path_tracing, key=sk)
+                m = np.asarray(out.mask).reshape(-1)
+                all_pos.append(np.asarray(out.pos).reshape(-1, 3)[m])
+                all_dir.append(np.asarray(out.dir).reshape(-1, 3)[m])
+                all_pow.append(np.asarray(out.power).reshape(-1, 3)[m])
+                li_stored += int(m.sum())
+                total_emitted += batch
+                it += 1
+            stored += li_stored
+        if stored == 0:
+            maps[caustic] = None
+            continue
+        pos = np.concatenate(all_pos)[:target * len(emitters)]
+        dirs = np.concatenate(all_dir)[:target * len(emitters)]
+        pows = (np.concatenate(all_pow)[:target * len(emitters)]
+                / max(total_emitted, 1))              # scale_photon_power
+        radius = _auto_radius(pos, cfg.photon_samples,
+                              cfg.photon_grid_max_per_cell)
+        maps[caustic] = build_grid(pos, pows, dirs, radius,
+                                   cfg.photon_grid_max_per_cell)
+    return PhotonMaps(global_map=maps[False], caustic_map=maps[True])
