@@ -19,7 +19,81 @@ lives in csrc/ and is used automatically when built):
 
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
 import numpy as np
+
+_NATIVE = None          # cached ctypes lib (False = unavailable)
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "csrc")
+
+
+def _load_native():
+    """Load (building if needed) the C++ loader from csrc/. Returns the
+    ctypes lib or None; never raises — numpy fallback always works."""
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    so = os.path.join(_CSRC, "libminiro.so")
+    try:
+        if not os.path.exists(so):
+            src = os.path.join(_CSRC, "objloader.cpp")
+            if not os.path.exists(src):
+                _NATIVE = False
+                return None
+            subprocess.run(["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+                            src, "-o", so], check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.obj_parse.restype = ctypes.c_void_p
+        lib.obj_parse.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_double),
+                                  ctypes.POINTER(ctypes.c_double)]
+        for f in ("obj_num_vertices", "obj_num_normals",
+                  "obj_num_texcoords", "obj_num_tris"):
+            getattr(lib, f).restype = ctypes.c_int
+            getattr(lib, f).argtypes = [ctypes.c_void_p]
+        lib.obj_copy.argtypes = [ctypes.c_void_p] + \
+            [np.ctypeslib.ndpointer(np.float32)] * 3 + \
+            [np.ctypeslib.ndpointer(np.int32)] * 3
+        lib.obj_free.argtypes = [ctypes.c_void_p]
+        _NATIVE = lib
+        return lib
+    except Exception:
+        _NATIVE = False
+        return None
+
+
+def _load_obj_native(lib, path: str, ctm: np.ndarray, nctm: np.ndarray):
+    c = np.ascontiguousarray(ctm, np.float64)
+    n = np.ascontiguousarray(nctm, np.float64)
+    h = lib.obj_parse(path.encode(),
+                      c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                      n.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        nv = lib.obj_num_vertices(h)
+        nn = lib.obj_num_normals(h)
+        nt = lib.obj_num_texcoords(h)
+        ntri = lib.obj_num_tris(h)
+        vertices = np.empty((max(nv, 1), 3), np.float32)
+        normals = np.empty((max(nn, 1), 3), np.float32)
+        texcoords = np.empty((max(nt, 1), 2), np.float32)
+        tri_v = np.empty((max(ntri, 1), 3), np.int32)
+        tri_n = np.empty((max(ntri, 1), 3), np.int32)
+        tri_t = np.empty((max(ntri, 1), 3), np.int32)
+        lib.obj_copy(h, vertices, normals, texcoords, tri_v, tri_n, tri_t)
+    finally:
+        lib.obj_free(h)
+    return {
+        "vertices": vertices[:nv].reshape(-1, 3),
+        "normals": normals[:nn].reshape(-1, 3),
+        "texcoords": texcoords[:nt].reshape(-1, 2),
+        "tri_vidx": tri_v[:ntri].reshape(-1, 3),
+        "tri_nidx": tri_n[:ntri].reshape(-1, 3),
+        "tri_tidx": tri_t[:ntri].reshape(-1, 3),
+    }
 
 
 def _parse_face_token(tok: str) -> tuple[int, int, int]:
@@ -43,6 +117,10 @@ def load_obj(path: str, ctm: np.ndarray | None = None):
     ctm = np.asarray(ctm, dtype=np.float64)
     # normal transform: inverse-transpose (TriangleMeshLoad.cpp:176-178)
     nctm = np.linalg.inv(ctm).T
+
+    lib = _load_native()
+    if lib is not None:
+        return _load_obj_native(lib, path, ctm, nctm)
 
     verts: list[tuple] = []
     normals: list[np.ndarray] = []

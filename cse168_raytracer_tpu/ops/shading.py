@@ -46,8 +46,8 @@ def trace_closest(scene: Scene, static: SceneStatic, o, d, tmin=0.0,
     if tmax is None:
         tmax = MIRO_TMAX
     if scene.accel is not None:
-        from cse168_raytracer_tpu.ops.accel import accel_closest_hit
-        hit = accel_closest_hit(scene.accel, scene.tris, scene.spheres,
+        from cse168_raytracer_tpu.ops.accel import scene_closest_hit
+        hit = scene_closest_hit(scene.accel, scene.tris, scene.spheres,
                                 scene.planes, o, d, tmin, tmax)
     else:
         hit = closest_hit(scene.tris, scene.spheres, scene.planes,
@@ -120,8 +120,8 @@ def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
         if not disable_shadows:
             sh_o = surf.p + s.l * EPSILON
             if scene.accel is not None:
-                from cse168_raytracer_tpu.ops.accel import accel_closest_hit
-                sh_hit = accel_closest_hit(scene.accel, scene.tris,
+                from cse168_raytracer_tpu.ops.accel import scene_closest_hit
+                sh_hit = scene_closest_hit(scene.accel, scene.tris,
                                            scene.spheres, scene.planes,
                                            sh_o, s.l, 0.0, s.dist)
             else:
