@@ -30,7 +30,7 @@ def _cmd_render(args) -> int:
     from cse168_raytracer_tpu.config import RenderConfig
     from cse168_raytracer_tpu.render.image_io import write_image
     from cse168_raytracer_tpu.render.integrator import render_hdr
-    from cse168_raytracer_tpu.render.tonemap import sigmoid_tonemap, to_bytes
+    from cse168_raytracer_tpu.render.tonemap import to_bytes, tonemap
     from cse168_raytracer_tpu.scenes import build
 
     cfg = RenderConfig(
@@ -62,22 +62,34 @@ def _cmd_render(args) -> int:
         print(f"[photons] traced in {time.time() - t0:.2f}s", file=sys.stderr)
 
     key = jax.random.key(cfg.seed)
-    render = jax.jit(render_hdr, static_argnames=("static", "cfg"))
-    t0 = time.time()
-    hdr, stats = jax.block_until_ready(render(scene, static, cam, cfg, key))
-    t_compile_and_run = time.time() - t0
-    t0 = time.time()
-    hdr, stats = jax.block_until_ready(render(scene, static, cam, cfg, key))
-    t_steady = time.time() - t0
-    print(f"[render] compile+run {t_compile_and_run:.2f}s, "
-          f"steady-state {t_steady:.3f}s", file=sys.stderr)
-    if args.stats:
+    if args.progressive:
+        from cse168_raytracer_tpu.render.progressive import render_progressive
+        t0 = time.time()
+        hdr = render_progressive(scene, static, cam, cfg, key,
+                                 checkpoint_path=args.checkpoint,
+                                 checkpoint_every=args.checkpoint_every)
+        stats = None
+        print(f"[render] progressive {cfg.trace_samples} spp "
+              f"in {time.time() - t0:.2f}s", file=sys.stderr)
+    else:
+        render = jax.jit(render_hdr, static_argnames=("static", "cfg"))
+        t0 = time.time()
+        hdr, stats = jax.block_until_ready(
+            render(scene, static, cam, cfg, key))
+        t_compile_and_run = time.time() - t0
+        t0 = time.time()
+        hdr, stats = jax.block_until_ready(
+            render(scene, static, cam, cfg, key))
+        t_steady = time.time() - t0
+        print(f"[render] compile+run {t_compile_and_run:.2f}s, "
+              f"steady-state {t_steady:.3f}s", file=sys.stderr)
+    if args.stats and stats is not None:
         print(f"[stats] primary={int(stats.primary_rays)} "
               f"secondary={int(stats.secondary_rays)} "
               f"shadow={int(stats.shadow_rays)} "
               f"dropped={int(stats.dropped_rays)}", file=sys.stderr)
 
-    img = to_bytes(sigmoid_tonemap(hdr))
+    img = to_bytes(tonemap(hdr, args.tonemap))
     write_image(args.out, np.asarray(img))
     print(f"[out] wrote {args.out}", file=sys.stderr)
     return 0
@@ -113,6 +125,15 @@ def main(argv=None) -> int:
     r.add_argument("--no-photon-map", action="store_true")
     r.add_argument("--stats", action="store_true", help="-DSTATS counters")
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--tonemap", choices=("sigmoid", "normalized", "none"),
+                   default="sigmoid",
+                   help="sigmoid = current reference (Scene.cpp:89); "
+                        "normalized = A2-era golden-image curve")
+    r.add_argument("--progressive", action="store_true",
+                   help="sample-by-sample accumulation with checkpointing")
+    r.add_argument("--checkpoint", default=None,
+                   help="render-state .npz path for --progressive resume")
+    r.add_argument("--checkpoint-every", type=int, default=16)
     r.add_argument("--out", default="out.png")
 
     args = p.parse_args(argv)

@@ -1,0 +1,65 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cse168_raytracer_tpu.config import RenderConfig
+from cse168_raytracer_tpu.parallel.sharding import (make_mesh,
+                                                    render_hdr_sharded,
+                                                    train_step_sharded)
+from cse168_raytracer_tpu.render.integrator import render_hdr
+from cse168_raytracer_tpu.scenes import build
+
+
+@pytest.fixture(scope="module")
+def sphere16():
+    cfg = RenderConfig(width=16, height=16, trace_depth=2)
+    return build("sphere", cfg)
+
+
+def test_sharded_render_matches_single_device(sphere16):
+    """Pixel-row sharding is a pure partition: the sharded forward
+    render must equal the single-device one wherever randomness doesn't
+    enter (deterministic Whitted rays, point light)."""
+    scene, static, cam, cfg = sphere16
+    mesh = make_mesh(8)
+    key = jax.random.key(0)
+    ref, _ = jax.jit(render_hdr, static_argnames=("static", "cfg"))(
+        scene, static, cam, cfg, key)
+    shd = jax.jit(
+        lambda s, c, k: render_hdr_sharded(s, static, c, cfg, k, mesh))(
+        scene, cam, key)
+    np.testing.assert_allclose(np.asarray(shd), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_train_step_reduces_loss(sphere16):
+    scene, static, cam, cfg = sphere16
+    mesh = make_mesh(4)
+    key = jax.random.key(0)
+    target = jnp.full((16, 16, 3), 0.02, jnp.float32)
+    step = jax.jit(lambda s, k: train_step_sharded(
+        s, static, cam, cfg, k, mesh, target, lr=0.5))
+    s1, l1 = step(scene, key)
+    s2, l2 = step(s1, key)
+    _, l3 = step(s2, key)
+    assert float(l3) < float(l1)
+
+
+def test_gradients_synchronized_across_devices(sphere16):
+    """The psum'd material gradient must be identical regardless of
+    device count (all-reduce correctness)."""
+    scene, static, cam, cfg = sphere16
+    key = jax.random.key(0)
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+
+    outs = []
+    for n in (2, 8):
+        mesh = make_mesh(n)
+        s, loss = jax.jit(lambda s, k: train_step_sharded(
+            s, static, cam, cfg, k, mesh, target))(scene, key)
+        outs.append((np.asarray(s.materials.kd), float(loss)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5, atol=1e-7)
+    assert abs(outs[0][1] - outs[1][1]) < 1e-6
