@@ -88,6 +88,21 @@ def _cmd_render(args) -> int:
               f"secondary={int(stats.secondary_rays)} "
               f"shadow={int(stats.shadow_rays)} "
               f"dropped={int(stats.dropped_rays)}", file=sys.stderr)
+        from cse168_raytracer_tpu.ops.accel import BlockAccel
+        if isinstance(scene.accel, BlockAccel):
+            import jax.numpy as jnp
+            from cse168_raytracer_tpu.ops.stats import measure_traversal_stats
+            from cse168_raytracer_tpu.render.camera import eye_rays
+            ys, xs = jnp.meshgrid(jnp.arange(cfg.height),
+                                  jnp.arange(cfg.width), indexing="ij")
+            o, d = eye_rays(cam, xs.ravel(), ys.ravel(), cfg.width,
+                            cfg.height)
+            ts = jax.jit(measure_traversal_stats)(scene.accel, o, d)
+            print(f"[stats] primary-ray box-tests/ray="
+                  f"{float(ts.box_tests_per_ray):.2f} "
+                  f"tri-tests/ray={float(ts.tri_tests_per_ray):.2f} "
+                  f"(reference A2 table: writeup/A2/Readme.tex:95-102)",
+                  file=sys.stderr)
 
     img = to_bytes(tonemap(hdr, args.tonemap))
     write_image(args.out, np.asarray(img))

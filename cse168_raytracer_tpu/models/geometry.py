@@ -81,6 +81,20 @@ class PlanePool(NamedTuple):
     valid: jax.Array       # (P,) bool
 
 
+class BLPatchPool(NamedTuple):
+    """Bilinear patches. The reference declares BLPatch but its
+    intersect is a stub returning false (BLPatch.cpp:19-24); here it is
+    implemented properly (Ramsey-style quadratic solve, see
+    ops/intersect.py:intersect_blpatches). Corner layout:
+    S(u,v) = (1-u)(1-v)p00 + u(1-v)p10 + (1-u)v p01 + uv p11."""
+    p00: jax.Array         # (B, 3)
+    p10: jax.Array         # (B, 3)
+    p01: jax.Array         # (B, 3)
+    p11: jax.Array         # (B, 3)
+    material_id: jax.Array  # (B,) i32
+    valid: jax.Array       # (B,) bool
+
+
 def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
     pad = n - x.shape[0]
     if pad <= 0:
@@ -227,6 +241,21 @@ def empty_plane_pool() -> PlanePool:
                      normal=jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
                      material_id=jnp.zeros((1,), jnp.int32),
                      valid=jnp.zeros((1,), dtype=bool))
+
+
+def make_blpatch_pool(p00, p10, p01, p11, material_ids) -> BLPatchPool:
+    f = lambda x: jnp.asarray(np.atleast_2d(np.asarray(x, np.float32)))
+    mids = np.atleast_1d(np.asarray(material_ids, np.int32))
+    return BLPatchPool(p00=f(p00), p10=f(p10), p01=f(p01), p11=f(p11),
+                       material_id=jnp.asarray(mids),
+                       valid=jnp.ones((len(mids),), dtype=bool))
+
+
+def empty_blpatch_pool() -> BLPatchPool:
+    z = jnp.zeros((1, 3), jnp.float32)
+    return BLPatchPool(p00=z, p10=z, p01=z, p11=z,
+                       material_id=jnp.zeros((1,), jnp.int32),
+                       valid=jnp.zeros((1,), dtype=bool))
 
 
 def empty_triangle_pack(block: int = 128) -> TrianglePack:

@@ -42,6 +42,8 @@ class Scene:
     accel: Optional[object] = None
     # Photon grids (global, caustic) attached by ops/photon.py (may be None)
     photons: Optional[object] = None
+    # Bilinear patches (reference BLPatch API, implemented for real)
+    blpatches: Optional[object] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,7 +64,8 @@ def make_scene(tris: Optional[TrianglePack] = None,
                materials: Optional[MaterialTable] = None,
                lights: Optional[Sequence[dict]] = None,
                env: Optional[Environment] = None,
-               images: Sequence[ImageTexture] = ()) -> tuple[Scene, SceneStatic]:
+               images: Sequence[ImageTexture] = (),
+               blpatches=None) -> tuple[Scene, SceneStatic]:
     if tris is None:
         tris = empty_triangle_pack()
     if spheres is None:
@@ -78,7 +81,7 @@ def make_scene(tris: Optional[TrianglePack] = None,
         env = make_environment()
     scene = Scene(tris=tris, spheres=spheres, planes=planes,
                   materials=materials, lights=light_table, env=env,
-                  images=tuple(images))
+                  images=tuple(images), blpatches=blpatches)
     static = SceneStatic(
         texture_kinds=active_kinds(materials),
         any_bump=has_bump(materials),

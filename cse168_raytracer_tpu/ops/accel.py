@@ -155,15 +155,20 @@ def attach_accel(scene, kind: str = "auto"):
 
 def scene_closest_hit(accel, tris: TrianglePack, spheres: SpherePool,
                       planes: PlanePool, o, d, tmin=0.0,
-                      tmax=MIRO_TMAX) -> Hit:
+                      tmax=MIRO_TMAX, blpatches=None) -> Hit:
     """Dispatch on the attached accelerator type."""
     from cse168_raytracer_tpu.ops.pallas_intersect import (PallasTriBlocks,
                                                            pallas_closest_hit)
     if isinstance(accel, PallasTriBlocks):
         interp = jax.default_backend() not in ("tpu",)
-        return pallas_closest_hit(accel, tris, spheres, planes, o, d,
-                                  tmin, tmax, interpret=interp)
-    return accel_closest_hit(accel, tris, spheres, planes, o, d, tmin, tmax)
+        h = pallas_closest_hit(accel, tris, spheres, planes, o, d,
+                               tmin, tmax, interpret=interp)
+    else:
+        h = accel_closest_hit(accel, tris, spheres, planes, o, d, tmin, tmax)
+    if blpatches is not None:
+        from cse168_raytracer_tpu.ops.intersect import intersect_blpatches
+        h = _merge(h, intersect_blpatches(blpatches, o, d, tmin, tmax))
+    return h
 
 
 def _slab(o, d_rcp, lo, hi, tmin, tmax):
@@ -299,10 +304,13 @@ def accel_intersect_triangles(accel: BlockAccel, pack: TrianglePack,
 def accel_closest_hit(accel: BlockAccel, tris: TrianglePack,
                       spheres: SpherePool, planes: PlanePool,
                       o: jax.Array, d: jax.Array, tmin=0.0,
-                      tmax=MIRO_TMAX) -> Hit:
+                      tmax=MIRO_TMAX, blpatches=None) -> Hit:
     """Scene::trace with acceleration: culled triangle pass, then the
     unbounded lists (Scene.cpp:214-231)."""
     h = accel_intersect_triangles(accel, tris, o, d, tmin, tmax)
     h = _merge(h, intersect_spheres(spheres, o, d, tmin, tmax))
     h = _merge(h, intersect_planes(planes, o, d, tmin, tmax))
+    if blpatches is not None:
+        from cse168_raytracer_tpu.ops.intersect import intersect_blpatches
+        h = _merge(h, intersect_blpatches(blpatches, o, d, tmin, tmax))
     return h

@@ -35,6 +35,7 @@ PRIM_NONE = 0
 PRIM_TRI = 1
 PRIM_SPHERE = 2
 PRIM_PLANE = 3
+PRIM_BLPATCH = 4
 
 _BIG = jnp.float32(3.0e37)
 _DEN_TINY = 1e-30
@@ -163,6 +164,97 @@ def intersect_planes(pool: PlanePool, o: jax.Array, d: jax.Array,
                prim_id=best_id, hit=hit)
 
 
+def intersect_blpatches(pool, o: jax.Array, d: jax.Array,
+                        tmin, tmax) -> Hit:
+    """Bilinear patch intersection (implements the reference's dead
+    BLPatch API, BLPatch.cpp:19-24, for real).
+
+    With S(u,v) = uv*A + u*B + v*C + E (A = p11-p10-p01+p00,
+    B = p10-p00, C = p01-p00, E = p00), the parallel condition
+    cross(S - o, d) = 0 gives, per component,
+        uv*Ax + u*Bx + v*Cx + Qx = 0   (X = cross(X3, d), Q = E - o)
+    eliminating u between two components yields a quadratic in v; u
+    follows linearly and t from the largest-|d| component. Both roots
+    are tested; the closer valid (u, v in [0,1], t in range) wins.
+    """
+    n = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, o.dtype), (n,))[:, None]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, o.dtype), (n,))[:, None]
+
+    a3 = pool.p11 - pool.p10 - pool.p01 + pool.p00    # (B, 3)
+    b3 = pool.p10 - pool.p00
+    c3 = pool.p01 - pool.p00
+    e3 = pool.p00
+
+    # broadcast rays against patches: (N, B, 3)
+    dN = d[:, None, :]
+    A = jnp.cross(jnp.broadcast_to(a3, (n,) + a3.shape), dN)
+    B = jnp.cross(jnp.broadcast_to(b3, (n,) + b3.shape), dN)
+    C = jnp.cross(jnp.broadcast_to(c3, (n,) + c3.shape), dN)
+    Q = jnp.cross(e3[None] - o[:, None, :], dN)
+
+    # pick the two components excluding the largest |d| axis (best
+    # conditioning: that axis has the smallest cross contributions)
+    k = jnp.argmax(jnp.abs(d), axis=-1)               # (N,)
+    i_idx = (k + 1) % 3
+    j_idx = (k + 2) % 3
+    take = lambda M, idx: jnp.take_along_axis(
+        M, idx[:, None, None], axis=2)[..., 0]
+    Ai, Aj = take(A, i_idx), take(A, j_idx)
+    Bi, Bj = take(B, i_idx), take(B, j_idx)
+    Ci, Cj = take(C, i_idx), take(C, j_idx)
+    Qi, Qj = take(Q, i_idx), take(Q, j_idx)
+
+    qa = Ci * Aj - Cj * Ai
+    qb = Ci * Bj + Qi * Aj - Cj * Bi - Qj * Ai
+    qc = Qi * Bj - Qj * Bi
+
+    disc = qb * qb - 4.0 * qa * qc
+    has_real = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(has_real, disc, 0.0))
+    lin = jnp.abs(qa) < 1e-12
+    safe_qa = jnp.where(lin, 1.0, qa)
+    safe_qb = jnp.where(jnp.abs(qb) < 1e-20, 1.0, qb)
+    v_lin = -qc / safe_qb
+    roots = [jnp.where(lin, v_lin, (-qb - sq) / (2.0 * safe_qa)),
+             jnp.where(lin, jnp.full_like(v_lin, -1.0),
+                       (-qb + sq) / (2.0 * safe_qa))]
+
+    eps = 1e-5
+    best_t = jnp.full((n, pool.p00.shape[0]), _BIG)
+    best_u = jnp.zeros_like(best_t)
+    best_v = jnp.zeros_like(best_t)
+    dk = jnp.take_along_axis(d, k[:, None], axis=1)   # (N, 1)
+    safe_dk = jnp.where(jnp.abs(dk) < 1e-20, 1.0, dk)
+    for v in roots:
+        denom_u = v * Ai + Bi
+        alt = jnp.abs(v * Aj + Bj) > jnp.abs(denom_u)
+        u = jnp.where(alt,
+                      -(v * Cj + Qj) / jnp.where(jnp.abs(v * Aj + Bj) < 1e-20,
+                                                 1.0, v * Aj + Bj),
+                      -(v * Ci + Qi) / jnp.where(jnp.abs(denom_u) < 1e-20,
+                                                 1.0, denom_u))
+        s = (u * v)[..., None] * a3 + u[..., None] * b3 \
+            + v[..., None] * c3 + e3
+        sk = jnp.take_along_axis(s - o[:, None, :], k[:, None, None],
+                                 axis=2)[..., 0]
+        t = sk / safe_dk
+        ok = (has_real | lin) & (u >= -eps) & (u <= 1 + eps) \
+            & (v >= -eps) & (v <= 1 + eps) \
+            & (t >= tmin) & (t <= tmax) & pool.valid[None, :]
+        better = ok & (t < best_t)
+        best_t = jnp.where(better, t, best_t)
+        best_u = jnp.where(better, u, best_u)
+        best_v = jnp.where(better, v, best_v)
+
+    tm = best_t
+    bmin = jnp.min(tm, axis=1)
+    barg = jnp.argmin(tm, axis=1).astype(jnp.int32)
+    hit = bmin < _BIG
+    return Hit(t=bmin, prim_type=jnp.where(hit, PRIM_BLPATCH, PRIM_NONE),
+               prim_id=barg, hit=hit)
+
+
 def _merge(a: Hit, b: Hit) -> Hit:
     """Keep the closer hit (Scene.cpp:224: strict <, first wins ties)."""
     b_better = b.hit & (~a.hit | (b.t < a.t))
@@ -174,10 +266,12 @@ def _merge(a: Hit, b: Hit) -> Hit:
 
 def closest_hit(tris: TrianglePack, spheres: SpherePool, planes: PlanePool,
                 o: jax.Array, d: jax.Array, tmin=0.0, tmax=MIRO_TMAX,
-                tri_block: int = 2048) -> Hit:
+                tri_block: int = 2048, blpatches=None) -> Hit:
     """Scene::trace equivalent (Scene.cpp:214-231): accelerated pass
     over bounded prims then the unbounded plane list."""
     h = intersect_triangles(tris, o, d, tmin, tmax, tri_block)
     h = _merge(h, intersect_spheres(spheres, o, d, tmin, tmax))
     h = _merge(h, intersect_planes(planes, o, d, tmin, tmax))
+    if blpatches is not None:
+        h = _merge(h, intersect_blpatches(blpatches, o, d, tmin, tmax))
     return h

@@ -48,11 +48,13 @@ def trace_closest(scene: Scene, static: SceneStatic, o, d, tmin=0.0,
     if scene.accel is not None:
         from cse168_raytracer_tpu.ops.accel import scene_closest_hit
         hit = scene_closest_hit(scene.accel, scene.tris, scene.spheres,
-                                scene.planes, o, d, tmin, tmax)
+                                scene.planes, o, d, tmin, tmax,
+                                blpatches=scene.blpatches)
     else:
         hit = closest_hit(scene.tris, scene.spheres, scene.planes,
-                          o, d, tmin, tmax)
-    surf = make_surface(scene.tris, scene.spheres, scene.planes, o, d, hit)
+                          o, d, tmin, tmax, blpatches=scene.blpatches)
+    surf = make_surface(scene.tris, scene.spheres, scene.planes, o, d, hit,
+                        blpatches=scene.blpatches)
     n = apply_bump(scene, static, surf)
     return hit, surf._replace(n=n)
 
@@ -123,17 +125,20 @@ def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
                 from cse168_raytracer_tpu.ops.accel import scene_closest_hit
                 sh_hit = scene_closest_hit(scene.accel, scene.tris,
                                            scene.spheres, scene.planes,
-                                           sh_o, s.l, 0.0, s.dist)
+                                           sh_o, s.l, 0.0, s.dist,
+                                           blpatches=scene.blpatches)
             else:
                 sh_hit = closest_hit(scene.tris, scene.spheres, scene.planes,
-                                     sh_o, s.l, 0.0, s.dist)
+                                     sh_o, s.l, 0.0, s.dist,
+                                     blpatches=scene.blpatches)
             n_shadow += 1
 
             occluded = sh_hit.hit
             if static.any_refractive:
                 # refractive occluders attenuate instead of blocking
                 sh_surf = make_surface(scene.tris, scene.spheres,
-                                       scene.planes, sh_o, s.l, sh_hit)
+                                       scene.planes, sh_o, s.l, sh_hit,
+                                       blpatches=scene.blpatches)
                 occ_refr = is_refractive(mats, sh_surf.material_id)
                 occ_ndl = jnp.sum(safe_normalize(sh_surf.n) * s.l, axis=-1)
                 pass_through = occluded & occ_refr & (occ_ndl >= EPSILON)

@@ -100,10 +100,46 @@ def _plane_surface(pool: PlanePool, o, d, t, pl_id):
     return p, nrm, nrm, uv, pool.material_id[pl_id]
 
 
+def _blpatch_surface(pool, o, d, t, bp_id):
+    """Bilinear patch shading data at the recorded hit t: solve (u, v)
+    for the winning patch from P = o + t*d (Newton on the bilinear
+    system — 4 iterations from the patch center), normal = Su x Sv."""
+    p00 = pool.p00[bp_id]
+    a3 = pool.p11[bp_id] - pool.p10[bp_id] - pool.p01[bp_id] + p00
+    b3 = pool.p10[bp_id] - p00
+    c3 = pool.p01[bp_id] - p00
+    p = o + t[:, None] * d
+    rhs = p - p00
+    u = jnp.full(t.shape, 0.5)
+    v = jnp.full(t.shape, 0.5)
+    for _ in range(4):
+        su = v[:, None] * a3 + b3
+        sv = u[:, None] * a3 + c3
+        r = (u * v)[:, None] * a3 + u[:, None] * b3 + v[:, None] * c3 - rhs
+        # 2x2 normal equations of the Jacobian [su, sv]
+        a11 = jnp.sum(su * su, -1)
+        a12 = jnp.sum(su * sv, -1)
+        a22 = jnp.sum(sv * sv, -1)
+        g1 = jnp.sum(su * r, -1)
+        g2 = jnp.sum(sv * r, -1)
+        det = a11 * a22 - a12 * a12
+        det = jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
+        u = u - (a22 * g1 - a12 * g2) / det
+        v = v - (a11 * g2 - a12 * g1) / det
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0)
+    su = v[:, None] * a3 + b3
+    sv = u[:, None] * a3 + c3
+    n = jnp.cross(su, sv)
+    return p, n, n, jnp.stack([u, v], axis=-1), pool.material_id[bp_id]
+
+
 def make_surface(tris: TrianglePack, spheres: SpherePool, planes: PlanePool,
-                 o: jax.Array, d: jax.Array, hit: Hit) -> Surface:
+                 o: jax.Array, d: jax.Array, hit: Hit,
+                 blpatches=None) -> Surface:
     """Build the Surface record for a wavefront of rays, branch-free
     over primitive type (lax.switch would serialize; masks are cheap)."""
+    from cse168_raytracer_tpu.ops.intersect import PRIM_BLPATCH
     tri_id = jnp.where(hit.prim_type == PRIM_TRI, hit.prim_id, 0)
     sph_id = jnp.where(hit.prim_type == PRIM_SPHERE, hit.prim_id, 0)
     pl_id = jnp.where(hit.prim_type == PRIM_PLANE, hit.prim_id, 0)
@@ -114,7 +150,6 @@ def make_surface(tris: TrianglePack, spheres: SpherePool, planes: PlanePool,
 
     is_t = (hit.prim_type == PRIM_TRI)[:, None]
     is_s = (hit.prim_type == PRIM_SPHERE)[:, None]
-    is_p = (hit.prim_type == PRIM_PLANE)[:, None]
 
     p = jnp.where(is_t, tp, jnp.where(is_s, sp, pp))
     n = jnp.where(is_t, tn, jnp.where(is_s, sn, pn))
@@ -122,5 +157,15 @@ def make_surface(tris: TrianglePack, spheres: SpherePool, planes: PlanePool,
     uv = jnp.where(is_t, tuv, jnp.where(is_s, suv, puv))
     mat = jnp.where(hit.prim_type == PRIM_TRI, tm,
                     jnp.where(hit.prim_type == PRIM_SPHERE, sm, pm))
+
+    if blpatches is not None:
+        bp_id = jnp.where(hit.prim_type == PRIM_BLPATCH, hit.prim_id, 0)
+        bp, bn, bgn, buv, bm = _blpatch_surface(blpatches, o, d, hit.t, bp_id)
+        is_b = (hit.prim_type == PRIM_BLPATCH)[:, None]
+        p = jnp.where(is_b, bp, p)
+        n = jnp.where(is_b, bn, n)
+        gn = jnp.where(is_b, bgn, gn)
+        uv = jnp.where(is_b, buv, uv)
+        mat = jnp.where(hit.prim_type == PRIM_BLPATCH, bm, mat)
     return Surface(p=p, n=n, geo_n=gn, uv=uv,
                    material_id=mat.astype(jnp.int32), hit=hit.hit)
