@@ -151,10 +151,56 @@ def main(argv=None) -> int:
     r.add_argument("--checkpoint-every", type=int, default=16)
     r.add_argument("--out", default="out.png")
 
+    v = sub.add_parser("view", help="progressive preview: refreshes the "
+                       "output image after every sample batch (headless "
+                       "analog of the reference's GLUT window, "
+                       "MiroWindow.cpp)")
+    v.add_argument("--scene", required=True)
+    v.add_argument("--width", type=int, default=256)
+    v.add_argument("--height", type=int, default=256)
+    v.add_argument("--depth", type=int, default=5)
+    v.add_argument("--spp", type=int, default=64)
+    v.add_argument("--path-tracing", action="store_true")
+    v.add_argument("--tonemap", choices=("sigmoid", "normalized", "none"),
+                   default="sigmoid")
+    v.add_argument("--out", default="preview.png")
+
     args = p.parse_args(argv)
     if args.cmd == "scenes":
         return _cmd_scenes(args)
+    if args.cmd == "view":
+        return _cmd_view(args)
     return _cmd_render(args)
+
+
+def _cmd_view(args) -> int:
+    import jax
+    import numpy as np
+
+    from cse168_raytracer_tpu.config import RenderConfig
+    from cse168_raytracer_tpu.ops.accel import attach_accel
+    from cse168_raytracer_tpu.render.image_io import write_image
+    from cse168_raytracer_tpu.render.progressive import render_progressive
+    from cse168_raytracer_tpu.render.tonemap import to_bytes, tonemap
+    from cse168_raytracer_tpu.scenes import build
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       trace_depth=args.depth, trace_samples=args.spp,
+                       path_tracing=args.path_tracing)
+    scene, static, cam, cfg = build(args.scene, cfg)
+    scene = attach_accel(scene)
+
+    def on_batch(done, est):
+        img = to_bytes(tonemap(est.reshape(cfg.height, cfg.width, 3),
+                               args.tonemap))
+        write_image(args.out, np.asarray(img))
+        print(f"\r[view] {done}/{cfg.trace_samples} spp -> {args.out}",
+              end="", file=sys.stderr)
+
+    render_progressive(scene, static, cam, cfg, jax.random.key(0),
+                       on_batch=on_batch)
+    print(file=sys.stderr)
+    return 0
 
 
 if __name__ == "__main__":

@@ -171,6 +171,122 @@ def scene_closest_hit(accel, tris: TrianglePack, spheres: SpherePool,
     return h
 
 
+def accel_any_hit_triangles(accel: BlockAccel, pack: TrianglePack,
+                            o: jax.Array, d: jax.Array, tmin, tmax):
+    """Boolean occlusion: does ANY triangle lie in [tmin, tmax]?
+
+    Shadow rays don't need the closest hit when no material is
+    refractive (Phong.cpp:97-100 just `continue`s on any opaque
+    occluder): rays resolve on first hit, and blocks/groups are skipped
+    once no unresolved ray can hit them."""
+    n = o.shape[0]
+    t_total = pack.num_tris
+    ng = accel.group_lo.shape[0]
+
+    tile = min(TILE, n)
+    n_tiles = -(-n // tile)
+    n_pad = n_tiles * tile
+
+    def pad(x, fill=0.0):
+        if n_pad == n:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
+
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, o.dtype), (n,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, o.dtype), (n,))
+    o_p = pad(o).reshape(n_tiles, tile, 3)
+    d_p = pad(d, 1.0).reshape(n_tiles, tile, 3)
+    tmin_p = pad(tmin).reshape(n_tiles, tile)
+    tmax_p = pad(tmax, -1.0).reshape(n_tiles, tile)
+
+    real_nb = t_total // BLOCK
+    w6 = pack.w6.reshape(6, real_nb, BLOCK, 3)
+    valid_b = pack.valid.reshape(real_nb, BLOCK)
+    w4r = pack.w4.reshape(4, real_nb, BLOCK)
+
+    def tile_body(_, ray_tile):
+        o_t, d_t, tmin_t, tmax_t = ray_tile
+        r6 = _ray6(o_t, d_t)
+        r4 = _ray4(o_t)
+        d_rcp = 1.0 / d_t
+
+        def group_body(occ, gi):
+            ghit = _slab(o_t, d_rcp, accel.group_lo[gi], accel.group_hi[gi],
+                         tmin_t, tmax_t) & ~occ
+
+            def visit(occ):
+                def block_step(occ, bj):
+                    bi = gi * GROUP + bj
+                    bhit = _slab(o_t, d_rcp, accel.block_lo[bi],
+                                 accel.block_hi[bi], tmin_t, tmax_t) & ~occ
+
+                    def test(occ):
+                        bic = jnp.minimum(bi, real_nb - 1)
+                        w6b = jax.lax.dynamic_index_in_dim(
+                            w6, bic, axis=1, keepdims=False)
+                        vb = jax.lax.dynamic_index_in_dim(
+                            valid_b, bic, axis=0, keepdims=False)
+                        w4b = jax.lax.dynamic_index_in_dim(
+                            w4r, bic, axis=1, keepdims=False)
+                        nums = jnp.dot(r6, w6b.reshape(6, BLOCK * 3),
+                                       preferred_element_type=jnp.float32)
+                        nums = nums.reshape(tile, BLOCK, 3)
+                        t_num = jnp.dot(r4, w4b,
+                                        preferred_element_type=jnp.float32)
+                        den = nums[:, :, 2]
+                        safe_den = jnp.where(jnp.abs(den) < _DEN_TINY,
+                                             1.0, den)
+                        inv_den = 1.0 / safe_den
+                        beta = nums[:, :, 0] * inv_den
+                        gamma = nums[:, :, 1] * inv_den
+                        t = t_num * inv_den
+                        ok = ((beta >= -EPSILON) & (gamma >= -EPSILON)
+                              & (beta + gamma <= 1.0 + EPSILON)
+                              & (t >= tmin_t[:, None])
+                              & (t <= tmax_t[:, None])
+                              & (jnp.abs(den) >= _DEN_TINY) & vb[None, :])
+                        return occ | jnp.any(ok, axis=1)
+
+                    return jax.lax.cond(jnp.any(bhit), test,
+                                        lambda c: c, occ), None
+
+                occ, _ = jax.lax.scan(block_step, occ,
+                                      jnp.arange(GROUP, dtype=jnp.int32))
+                return occ
+
+            return jax.lax.cond(jnp.any(ghit), visit, lambda c: c, occ), None
+
+        occ0 = jnp.zeros((tile,), bool)
+        occ, _ = jax.lax.scan(group_body, occ0,
+                              jnp.arange(ng, dtype=jnp.int32))
+        return None, occ
+
+    _, occ = jax.lax.scan(tile_body, None, (o_p, d_p, tmin_p, tmax_p))
+    return occ.reshape(n_pad)[:n]
+
+
+def scene_any_hit(accel: BlockAccel, tris: TrianglePack,
+                  spheres: SpherePool, planes: PlanePool, o, d,
+                  tmin=0.0, tmax=MIRO_TMAX, blpatches=None):
+    """Boolean shadow occlusion across all primitive pools.
+
+    All inputs are gradient-stopped: the boolean result carries no
+    gradient, and keeping AD out of the traversal scans avoids
+    linearization residuals that blow up compile time.
+    """
+    (accel, tris, spheres, planes, o, d, tmin, tmax, blpatches) = \
+        jax.lax.stop_gradient((accel, tris, spheres, planes, o, d,
+                               tmin, tmax, blpatches))
+    occ = accel_any_hit_triangles(accel, tris, o, d, tmin, tmax)
+    occ = occ | intersect_spheres(spheres, o, d, tmin, tmax).hit
+    occ = occ | intersect_planes(planes, o, d, tmin, tmax).hit
+    if blpatches is not None:
+        from cse168_raytracer_tpu.ops.intersect import intersect_blpatches
+        occ = occ | intersect_blpatches(blpatches, o, d, tmin, tmax).hit
+    return occ
+
+
 def _slab(o, d_rcp, lo, hi, tmin, tmax):
     """Ray-AABB slab test (BVH.cpp:513-584 semantics). o: (N,3),
     d_rcp: (N,3); lo/hi: (3,) or (N,3). Returns (N,) bool."""
@@ -190,7 +306,18 @@ def _slab(o, d_rcp, lo, hi, tmin, tmax):
 def accel_intersect_triangles(accel: BlockAccel, pack: TrianglePack,
                               o: jax.Array, d: jax.Array, tmin, tmax) -> Hit:
     """Closest-hit against Morton-ordered triangle blocks with
-    group/block AABB culling. Rays are processed in TILE-sized tiles."""
+    group/block AABB culling. Rays are processed in TILE-sized tiles.
+
+    Gradient-detached like intersect_triangles (see detach_tri_hit):
+    keeps AD from linearizing the traversal scans/conds."""
+    accel, pack, o, d, tmin, tmax = jax.lax.stop_gradient(
+        (accel, pack, o, d, tmin, tmax))
+    return _accel_intersect_triangles_impl(accel, pack, o, d, tmin, tmax)
+
+
+def _accel_intersect_triangles_impl(accel: BlockAccel, pack: TrianglePack,
+                                    o: jax.Array, d: jax.Array,
+                                    tmin, tmax) -> Hit:
     n = o.shape[0]
     t_total = pack.num_tris
     nb = accel.num_blocks

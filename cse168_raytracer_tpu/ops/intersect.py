@@ -65,12 +65,28 @@ def intersect_triangles(pack: TrianglePack, o: jax.Array, d: jax.Array,
     o, d: (N, 3). tmin/tmax: scalar or (N,). Scans triangle blocks of
     `tri_block` keeping a running (t, id) min per ray — the same
     streaming structure as the Pallas kernel, expressed in XLA.
+
+    DETACHED for AD (custom zero VJP, see `detach_tri_hit`): triangle
+    winners' continuous quantities are recomputed differentiably in
+    ops/surface.py from the gathered primitive, so the t gradient here
+    is never consumed — detaching keeps JAX from linearizing the
+    traversal scan (residuals per block step otherwise dominate
+    backward compile time and memory).
     """
+    return detach_tri_hit(_intersect_triangles_impl, pack, o, d,
+                          tmin, tmax, tri_block)
+
+
+def _intersect_triangles_impl(pack: TrianglePack, o: jax.Array, d: jax.Array,
+                              tmin, tmax, tri_block: int = 2048) -> Hit:
     n = o.shape[0]
     t_total = pack.num_tris
+    assert t_total % 128 == 0, "TrianglePack must be padded to 128"
+    # largest multiple of 128 <= tri_block that divides t_total
     tb = min(tri_block, t_total)
-    n_blocks = (t_total + tb - 1) // tb
-    assert t_total % tb == 0, "TrianglePack must be padded to block multiple"
+    while t_total % tb != 0:
+        tb -= 128
+    n_blocks = t_total // tb
 
     r6 = _ray6(o, d)                       # (N, 6)
     r4 = _ray4(o)                          # (N, 4)
@@ -113,6 +129,17 @@ def intersect_triangles(pack: TrianglePack, o: jax.Array, d: jax.Array,
     hit = best_t < _BIG
     return Hit(t=best_t, prim_type=jnp.where(hit, PRIM_TRI, PRIM_NONE),
                prim_id=best_id, hit=hit)
+
+
+def detach_tri_hit(impl, pack, o, d, tmin, tmax, *extra):
+    """Run a triangle closest-hit `impl` under stop_gradient.
+
+    Hit outputs are discrete selections; the winner's continuous
+    surface math is recomputed differentiably downstream
+    (ops/surface.py), so zero cotangents here are exact — and AD never
+    builds the adjoint of the traversal loop."""
+    pack, o, d, tmin, tmax = jax.lax.stop_gradient((pack, o, d, tmin, tmax))
+    return impl(pack, o, d, tmin, tmax, *extra)
 
 
 def intersect_spheres(pool: SpherePool, o: jax.Array, d: jax.Array,

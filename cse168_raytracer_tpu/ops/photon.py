@@ -295,7 +295,9 @@ def build_photon_maps(scene: Scene, static: SceneStatic, cfg: RenderConfig,
     if not emitters:
         return None
 
-    batch = 10000                                     # Scene.cpp:375
+    # Scene.cpp:375 uses OMP batches of 10000; on TPU bigger wavefronts
+    # amortize dispatch/launch overhead
+    batch = 65536 if jax.default_backend() == "tpu" else 10000
     maps = {}
     for caustic, target in ((False, cfg.photons_per_light),
                             (True, cfg.caustic_photons_per_light)):

@@ -120,30 +120,43 @@ def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
         intensity = jnp.ones_like(s.dist)
         occluded = jnp.zeros(s.dist.shape, bool)
         if not disable_shadows:
+            from cse168_raytracer_tpu.ops.accel import (BlockAccel,
+                                                        scene_any_hit,
+                                                        scene_closest_hit)
             sh_o = surf.p + s.l * EPSILON
-            if scene.accel is not None:
-                from cse168_raytracer_tpu.ops.accel import scene_closest_hit
-                sh_hit = scene_closest_hit(scene.accel, scene.tris,
-                                           scene.spheres, scene.planes,
-                                           sh_o, s.l, 0.0, s.dist,
-                                           blpatches=scene.blpatches)
-            else:
-                sh_hit = closest_hit(scene.tris, scene.spheres, scene.planes,
-                                     sh_o, s.l, 0.0, s.dist,
-                                     blpatches=scene.blpatches)
+            # suppress shadow work for lanes that missed the scene
+            sh_tmax = jnp.where(surf.hit, s.dist, -1.0)
             n_shadow += 1
-
-            occluded = sh_hit.hit
-            if static.any_refractive:
-                # refractive occluders attenuate instead of blocking
-                sh_surf = make_surface(scene.tris, scene.spheres,
-                                       scene.planes, sh_o, s.l, sh_hit,
-                                       blpatches=scene.blpatches)
-                occ_refr = is_refractive(mats, sh_surf.material_id)
-                occ_ndl = jnp.sum(safe_normalize(sh_surf.n) * s.l, axis=-1)
-                pass_through = occluded & occ_refr & (occ_ndl >= EPSILON)
-                intensity = jnp.where(pass_through, occ_ndl, intensity)
-                occluded = occluded & ~pass_through
+            if (isinstance(scene.accel, BlockAccel)
+                    and not static.any_refractive):
+                # boolean occlusion suffices -> any-hit with early exit
+                # (gradient-stopped inside scene_any_hit)
+                occluded = scene_any_hit(scene.accel, scene.tris,
+                                         scene.spheres, scene.planes,
+                                         sh_o, s.l, 0.0, sh_tmax,
+                                         blpatches=scene.blpatches)
+            else:
+                if scene.accel is not None:
+                    sh_hit = scene_closest_hit(scene.accel, scene.tris,
+                                               scene.spheres, scene.planes,
+                                               sh_o, s.l, 0.0, sh_tmax,
+                                               blpatches=scene.blpatches)
+                else:
+                    sh_hit = closest_hit(scene.tris, scene.spheres,
+                                         scene.planes, sh_o, s.l, 0.0,
+                                         sh_tmax, blpatches=scene.blpatches)
+                occluded = sh_hit.hit
+                if static.any_refractive:
+                    # refractive occluders attenuate instead of blocking
+                    sh_surf = make_surface(scene.tris, scene.spheres,
+                                           scene.planes, sh_o, s.l, sh_hit,
+                                           blpatches=scene.blpatches)
+                    occ_refr = is_refractive(mats, sh_surf.material_id)
+                    occ_ndl = jnp.sum(safe_normalize(sh_surf.n) * s.l,
+                                      axis=-1)
+                    pass_through = occluded & occ_refr & (occ_ndl >= EPSILON)
+                    intensity = jnp.where(pass_through, occ_ndl, intensity)
+                    occluded = occluded & ~pass_through
         visible = ~occluded & s.in_beam
 
         w = scene.lights.wattage[li]

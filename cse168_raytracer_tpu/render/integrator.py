@@ -140,7 +140,12 @@ def integrate(scene: Scene, static: SceneStatic, o: jax.Array, d: jax.Array,
 
     def _live_level(carry, level_key):
         wf, radiance, sec, shad, drop = carry
-        hit, surf = trace_closest(scene, static, wf.o, wf.d)
+        # dead lanes get tmax < tmin: every slab test fails, so whole
+        # blocks are culled for tiles of dead rays (front-packed pools
+        # make those tiles contiguous)
+        from cse168_raytracer_tpu.config import MIRO_TMAX
+        lane_tmax = jnp.where(wf.alive, MIRO_TMAX, -1.0)
+        hit, surf = trace_closest(scene, static, wf.o, wf.d, tmax=lane_tmax)
         live_hit = wf.alive & hit.hit
         k_shade, k_lobe1, k_lobe2 = jax.random.split(level_key, 3)
 

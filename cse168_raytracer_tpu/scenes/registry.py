@@ -439,6 +439,77 @@ def scene_petal(cfg: RenderConfig):
     return scene, static, cam, cfg
 
 
+def scene_spiral(cfg: RenderConfig):
+    """makeSpiralScene (assignment1.cpp:8-76): 149 spheres on an
+    Archimedean spiral, red Lambert plane, one green triangle with
+    bent normals."""
+    mb = MaterialBuilder()
+    centers, radii, mats = [], [], []
+    max_i, a = 150, 0.15
+    for i in range(1, max_i):
+        t = i / float(max_i)
+        theta = 4 * PI * t
+        r = a * theta
+        centers.append((r * math.cos(theta), r * math.sin(theta),
+                        2 * (2 * PI * a - r)))
+        radii.append(r / 10)
+        mats.append(mb.phong(kd=(1.0, t, i % 2)))
+    red = mb.phong(kd=(1, 0, 0))
+    green = mb.phong(kd=(0, 1, 0))
+    spheres = make_sphere_pool(centers, radii, mats)
+    planes = make_plane_pool([(0, -2, 0)], [(0, 1, 0)], [red])
+    n2 = np.asarray((0.1, 0.1, -1.0)); n2 /= np.linalg.norm(n2)
+    n3 = np.asarray((-0.1, -0.2, -1.0)); n3 /= np.linalg.norm(n3)
+    tri = {
+        "vertices": np.asarray([(0, 0, 0), (0, 3, 0), (5, 5, 0)], np.float32),
+        "normals": np.asarray([(0, 0, -1), n2, n3], np.float32),
+        "texcoords": np.zeros((0, 2), np.float32),
+        "tri_vidx": np.asarray([[0, 1, 2]], np.int32),
+        "tri_nidx": np.asarray([[0, 1, 2]], np.int32),
+        "tri_tidx": np.asarray([[-1, -1, -1]], np.int32),
+    }
+    tris = pack_triangles([(tri, green)])
+    lights = [dict(kind=LIGHT_POINT, position=(-3, 15, -15),
+                   color=(1, 1, 1), wattage=1000.0)]
+    cam = make_camera(eye=(0, 0, -5), look_at=(0, 0, 0), fov=45,
+                      bg_color=(1, 1, 1))
+    scene, static = make_scene(tris=tris, spheres=spheres, planes=planes,
+                               materials=mb.build(), lights=lights)
+    return scene, static, cam, cfg
+
+
+def scene_scene1(cfg: RenderConfig):
+    """makeScene1 (assignment1.cpp:82-166): three Phong spheres +
+    teapot + red square backdrop, four point lights."""
+    mb = MaterialBuilder()
+    green = mb.phong(kd=(0, 1, 0))
+    red = mb.phong(kd=(1, 0, 0), shininess=3, ior=1.5)
+    blue = mb.phong(kd=(0, 0, 1), shininess=3, ior=1.5)
+    white = mb.phong(kd=(1, 1, 1), shininess=3, ior=1.5)
+    backdrop = mb.phong(kd=(1, 0, 0))
+    spheres = make_sphere_pool([(-2, 2.5, -9), (2, 2.5, -9), (0, 4.5, -10)],
+                               [1.5, 1.5, 1.5], [green, red, blue])
+    meshes = [(ref_obj("teapot.obj", model_ctm((0, 0, -5))), white),
+              (ref_obj("square.obj", model_ctm((0, 0, -8), 0.0,
+                                               (6, 6, 6))), backdrop)]
+    tris = pack_triangles(meshes)
+    lights = [dict(kind=LIGHT_POINT, position=(-2, 3, -6), wattage=30.0),
+              dict(kind=LIGHT_POINT, position=(2, 4.5, -6.5), wattage=30.0),
+              dict(kind=LIGHT_POINT, position=(0, 20, 0), wattage=1000.0),
+              dict(kind=LIGHT_POINT, position=(0, 5, -7), wattage=30.0)]
+    for l in lights:
+        l["kind"] = LIGHT_POINT
+        l["color"] = (1, 1, 1)
+    ang, pitch = -PI, -0.1
+    cam = make_camera(eye=(0, 3, 2),
+                      look_at=(0 + math.sin(ang), 3 + math.sin(pitch),
+                               2 + math.cos(ang)),
+                      fov=60, bg_color=(0, 0, 0))
+    scene, static = make_scene(tris=tris, spheres=spheres,
+                               materials=mb.build(), lights=lights)
+    return scene, static, cam, cfg
+
+
 SCENES: dict[str, Callable] = {
     "sphere": scene_sphere,
     "teapot": scene_teapot,
@@ -451,6 +522,8 @@ SCENES: dict[str, Callable] = {
     "test_sphere": scene_test_sphere,
     "refract_spheres": scene_refract_spheres,
     "petal": scene_petal,
+    "spiral": scene_spiral,
+    "scene1": scene_scene1,
 }
 
 
