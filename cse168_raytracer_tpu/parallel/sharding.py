@@ -34,8 +34,9 @@ from cse168_raytracer_tpu.render.camera import Camera
 from cse168_raytracer_tpu.render.integrator import integrate, eye_rays
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "tiles") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = "tiles",
+              devices=None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     import numpy as np
