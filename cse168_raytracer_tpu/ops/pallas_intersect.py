@@ -40,7 +40,7 @@ from cse168_raytracer_tpu.ops.intersect import (Hit, PRIM_NONE, PRIM_TRI,
                                                 intersect_planes,
                                                 intersect_spheres)
 
-BLOCK = 128
+BLOCK = 256
 RAY_TILE = 256
 _FAR = 1.0e30
 
@@ -101,12 +101,19 @@ _BIGF = 3.0e37  # python float: jnp constants can't be captured by kernels
 
 
 def _kernel(aabb_ref, w6_ref, w4_ref, o_ref, drcp_ref, r6_ref, r4_ref,
-            tlim_ref, t_out_ref, id_out_ref, best_t_ref, best_id_ref):
+            tlim_ref, t_out_ref, id_out_ref, best_t_ref, best_bi_ref):
+    """v2 kernel: per-LANE running best.
+
+    best_t_ref/best_bi_ref are (R, BLOCK): lane j holds the best t (and
+    its block index) among triangles that live in lane j of any block.
+    The expensive cross-lane argmin runs ONCE at the end instead of
+    once per block (v1 did nb cross-lane argmins per tile — measured
+    ~2x slower end-to-end with honest fetch-timing)."""
     nb = aabb_ref.shape[0]
     r = o_ref.shape[0]
 
-    best_t_ref[:] = jnp.full((r, 1), _BIGF, jnp.float32)
-    best_id_ref[:] = jnp.zeros((r, 1), jnp.int32)
+    best_t_ref[:] = jnp.full((r, BLOCK), _BIGF, jnp.float32)
+    best_bi_ref[:] = jnp.zeros((r, BLOCK), jnp.int32)
 
     o = o_ref[:]                  # (R, 3)
     drcp = drcp_ref[:]            # (R, 3)
@@ -118,7 +125,6 @@ def _kernel(aabb_ref, w6_ref, w4_ref, o_ref, drcp_ref, r6_ref, r4_ref,
     def body(bi, _):
         lo = aabb_ref[bi, 0:3]    # (3,)
         hi = aabb_ref[bi, 3:6]
-        cur_max = jnp.minimum(tmax, best_t_ref[:])        # (R, 1)
         t0 = (lo - o) * drcp                              # (R, 3)
         t1 = (hi - o) * drcp
         tn = jnp.minimum(t0, t1)
@@ -126,7 +132,7 @@ def _kernel(aabb_ref, w6_ref, w4_ref, o_ref, drcp_ref, r6_ref, r4_ref,
         tn = jnp.where(jnp.isnan(tn), -jnp.inf, tn)
         tf = jnp.where(jnp.isnan(tf), jnp.inf, tf)
         enter = jnp.maximum(jnp.max(tn, axis=1, keepdims=True), tmin)
-        exit_ = jnp.minimum(jnp.min(tf, axis=1, keepdims=True), cur_max)
+        exit_ = jnp.minimum(jnp.min(tf, axis=1, keepdims=True), tmax)
         any_hit = jnp.max(jnp.where(enter <= exit_, 1, 0)) > 0
 
         @pl.when(any_hit)
@@ -143,24 +149,32 @@ def _kernel(aabb_ref, w6_ref, w4_ref, o_ref, drcp_ref, r6_ref, r4_ref,
             beta = beta_n * inv_den
             gamma = gamma_n * inv_den
             t = t_num * inv_den
-            cur = jnp.minimum(tmax, best_t_ref[:])
             ok = ((beta >= -EPSILON) & (gamma >= -EPSILON)
                   & (beta + gamma <= 1.0 + EPSILON)
-                  & (t >= tmin) & (t <= cur)
+                  & (t >= tmin) & (t <= tmax)
                   & (jnp.abs(den) >= _DEN_TINY))
             tm = jnp.where(ok, t, _BIGF)
-            bmin = jnp.min(tm, axis=1, keepdims=True)     # (R, 1)
-            barg = jnp.argmin(tm, axis=1).astype(jnp.int32)[:, None] \
-                + bi * BLOCK
-            better = bmin < best_t_ref[:]
-            best_t_ref[:] = jnp.where(better, bmin, best_t_ref[:])
-            best_id_ref[:] = jnp.where(better, barg, best_id_ref[:])
+            # strict < keeps the EARLIEST block on lane ties, matching
+            # the XLA path's first-min argmin semantics
+            better = tm < best_t_ref[:]
+            best_t_ref[:] = jnp.where(better, tm, best_t_ref[:])
+            best_bi_ref[:] = jnp.where(better, bi, best_bi_ref[:])
 
         return 0
 
     jax.lax.fori_loop(0, nb, body, 0)
-    t_out_ref[:] = best_t_ref[:]
-    id_out_ref[:] = best_id_ref[:]
+
+    # single cross-lane resolve: first lane achieving the min, then its
+    # block id -> global triangle id = block * BLOCK + lane
+    bt = best_t_ref[:]                                    # (R, BLOCK)
+    bmin = jnp.min(bt, axis=1, keepdims=True)             # (R, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, BLOCK), 1)
+    cand = jnp.where(bt <= bmin, lane, BLOCK)
+    lane_star = jnp.min(cand, axis=1, keepdims=True)      # (R, 1)
+    ids = best_bi_ref[:] * BLOCK + lane
+    sel = jnp.where(lane == lane_star, ids, 0)
+    id_out_ref[:] = jnp.sum(sel, axis=1, keepdims=True)
+    t_out_ref[:] = bmin
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -241,8 +255,8 @@ def _pallas_hit_impl(blocks: PallasTriBlocks, o: jax.Array,
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
                    jax.ShapeDtypeStruct((n_pad, 1), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((RAY_TILE, 1), jnp.float32),
-                        pltpu.VMEM((RAY_TILE, 1), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((RAY_TILE, BLOCK), jnp.float32),
+                        pltpu.VMEM((RAY_TILE, BLOCK), jnp.int32)],
         interpret=interpret,
     )(blocks.aabb, blocks.w6, blocks.w4, o_p, drcp, r6, r4, tlim)
 
