@@ -165,12 +165,39 @@ def main(argv=None) -> int:
                    default="sigmoid")
     v.add_argument("--out", default="preview.png")
 
+    w = sub.add_parser("window", help="interactive viewer (MiroWindow "
+                       "analog: drag to orbit, wasd/qz to move, r/g to "
+                       "toggle raytrace vs fast preview, i to dump PPM)")
+    w.add_argument("--scene", required=True)
+    w.add_argument("--width", type=int, default=256)
+    w.add_argument("--height", type=int, default=256)
+    w.add_argument("--depth", type=int, default=5)
+    w.add_argument("--tonemap", choices=("sigmoid", "normalized", "none"),
+                   default="sigmoid")
+
     args = p.parse_args(argv)
     if args.cmd == "scenes":
         return _cmd_scenes(args)
     if args.cmd == "view":
         return _cmd_view(args)
+    if args.cmd == "window":
+        return _cmd_window(args)
     return _cmd_render(args)
+
+
+def _cmd_window(args) -> int:
+    from cse168_raytracer_tpu.config import RenderConfig
+    from cse168_raytracer_tpu.ops.accel import attach_accel
+    from cse168_raytracer_tpu.render.viewer import InteractiveViewer
+    from cse168_raytracer_tpu.scenes import build
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       trace_depth=args.depth)
+    scene, static, cam, cfg = build(args.scene, cfg)
+    scene = attach_accel(scene)
+    InteractiveViewer(scene, static, cam, cfg,
+                      tonemap_kind=args.tonemap).main_loop()
+    return 0
 
 
 def _cmd_view(args) -> int:

@@ -102,6 +102,15 @@ def align_hemisphere(v: jax.Array, theta: jax.Array, phi: jax.Array) -> jax.Arra
     return safe_normalize(u1 * t1 + u2 * t2 + u3 * v)
 
 
+def rotate_about_axis(v: jax.Array, theta, w: jax.Array) -> jax.Array:
+    """Vector3::rotated(theta, w) (Vector3.h:217-224): rotate v about
+    unit axis w by theta radians (Rodrigues)."""
+    w = safe_normalize(w)
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    return v * c + cross(w, v) * s + w * dotk(w, v) * (1.0 - c)
+
+
 # ---------------------------------------------------------------------------
 # Optics
 # ---------------------------------------------------------------------------

@@ -44,6 +44,8 @@ TEX_STEM = 5           # StemTexture (Texture.h:184-213)
 TEX_LEAF = 6           # LeafTexture (Texture.h:216-251)   [3D lookup]
 TEX_FLOWER_CENTER = 7  # FlowerCenterTexture (Texture.h:253-277) [3D]
 TEX_IMAGE = 8          # LoadedTexture (Texture.cpp:30-185)
+TEX_CELLULAR = 9       # CellularTexture2D (Texture.h:84-99); image_id
+                       # indexes Scene.cellulars
 
 # which kinds do 3D (world-position) lookups — GetLookupCoordinates()==UVW
 UVW_KINDS = (TEX_CLOUD, TEX_PETAL, TEX_LEAF, TEX_FLOWER_CENTER)

@@ -23,7 +23,8 @@ from cse168_raytracer_tpu.models.geometry import (PlanePool, SpherePool,
                                                   empty_triangle_pack)
 from cse168_raytracer_tpu.models.lights import LightTable, make_light_table
 from cse168_raytracer_tpu.models.materials import MaterialTable, UVW_KINDS
-from cse168_raytracer_tpu.models.textures import (Environment, ImageTexture,
+from cse168_raytracer_tpu.models.textures import (CellularTexture,
+                                                  Environment, ImageTexture,
                                                   active_kinds, has_bump,
                                                   make_environment)
 
@@ -38,6 +39,8 @@ class Scene:
     lights: LightTable
     env: Environment
     images: Tuple[ImageTexture, ...] = ()
+    # Cellular point-set textures (CellularTexture2D, Texture.h:84-99)
+    cellulars: Tuple[CellularTexture, ...] = ()
     # BVH/accelerator arrays are attached by ops/accel.py (may be None)
     accel: Optional[object] = None
     # Photon grids (global, caustic) attached by ops/photon.py (may be None)
@@ -65,6 +68,7 @@ def make_scene(tris: Optional[TrianglePack] = None,
                lights: Optional[Sequence[dict]] = None,
                env: Optional[Environment] = None,
                images: Sequence[ImageTexture] = (),
+               cellulars: Sequence[CellularTexture] = (),
                blpatches=None) -> tuple[Scene, SceneStatic]:
     if tris is None:
         tris = empty_triangle_pack()
@@ -81,7 +85,8 @@ def make_scene(tris: Optional[TrianglePack] = None,
         env = make_environment()
     scene = Scene(tris=tris, spheres=spheres, planes=planes,
                   materials=materials, lights=light_table, env=env,
-                  images=tuple(images), blpatches=blpatches)
+                  images=tuple(images), cellulars=tuple(cellulars),
+                  blpatches=blpatches)
     static = SceneStatic(
         texture_kinds=active_kinds(materials),
         any_bump=has_bump(materials),

@@ -103,7 +103,8 @@ def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
     mats = scene.materials
     mid = surf.material_id
     tex_color = diffuse_color(mats, scene.images, mid, surf.uv, surf.p,
-                              static.texture_kinds)
+                              static.texture_kinds,
+                              cellulars=scene.cellulars)
     kd = mats.kd[mid]
     shininess = mats.shininess[mid]
     n = surf.n

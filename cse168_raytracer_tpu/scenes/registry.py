@@ -23,14 +23,16 @@ from cse168_raytracer_tpu.models.geometry import (make_plane_pool,
 from cse168_raytracer_tpu.models.lights import (LIGHT_DIRECTIONAL_AREA,
                                                 LIGHT_POINT, LIGHT_SQUARE)
 from cse168_raytracer_tpu.models.materials import (MaterialBuilder,
-                                                   TEX_CHECKER, TEX_CLOUD,
+                                                   TEX_CELLULAR, TEX_CHECKER,
+                                                   TEX_CLOUD,
                                                    TEX_FLOWER_CENTER,
                                                    TEX_IMAGE, TEX_LEAF,
                                                    TEX_PETAL, TEX_STEM,
                                                    TEX_STONE)
 from cse168_raytracer_tpu.models.obj import load_obj
 from cse168_raytracer_tpu.models.scene import make_scene
-from cse168_raytracer_tpu.models.textures import (load_image_texture,
+from cse168_raytracer_tpu.models.textures import (build_cellular_texture,
+                                                  load_image_texture,
                                                   make_environment)
 from cse168_raytracer_tpu.render.camera import make_camera
 
@@ -341,6 +343,25 @@ def scene_texture_plane(cfg: RenderConfig):
     return scene, static, cam, cfg
 
 
+def scene_cellular_plane(cfg: RenderConfig):
+    """CellularTexture2D probe scene (the class is library-only in the
+    reference, Texture.h:84-99 / Texture.cpp:219-354): a plane textured
+    with a 1000-point 10x10-grid cellular texture, lit like
+    makeTestTextureScene."""
+    cell = build_cellular_texture(1000, grid_width=10, grid_height=10,
+                                  seed=0)
+    mb = MaterialBuilder()
+    m = mb.textured(TEX_CELLULAR, [1.0], image_id=0)
+    planes = make_plane_pool([(0, 0, 0)], [(0, 1, 0)], [m])
+    lights = [dict(kind=LIGHT_POINT, position=(10, 10, 10),
+                   color=(1, 1, 1), wattage=5000.0)]
+    cam = make_camera(eye=(-10, 4, 0), look_at=(0, 0, 0), fov=45,
+                      bg_color=(0, 0, 0.2))
+    scene, static = make_scene(planes=planes, materials=mb.build(),
+                               lights=lights, cellulars=[cell])
+    return scene, static, cam, cfg
+
+
 def scene_test_sphere(cfg: RenderConfig):
     """makeTestSphereScene (main.cpp:30-115): green Phong(ks=1) mirror
     sphere, checkerboard plane, CloudTexture environment, two point
@@ -519,6 +540,7 @@ SCENES: dict[str, Callable] = {
     "sponza": scene_sponza,
     "sphere_texture": scene_sphere_texture,
     "texture_plane": scene_texture_plane,
+    "cellular_plane": scene_cellular_plane,
     "test_sphere": scene_test_sphere,
     "refract_spheres": scene_refract_spheres,
     "petal": scene_petal,

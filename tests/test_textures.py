@@ -104,3 +104,51 @@ def test_env_bg_color_when_empty():
     env = make_environment(bg_color=(0.25, 0.5, 0.75))
     out = env_lookup(env, jnp.asarray([[0.0, 0.0, 1.0]]), jnp.zeros(1, bool))
     np.testing.assert_allclose(np.asarray(out)[0], [0.25, 0.5, 0.75])
+
+
+def test_cellular_distances_vs_bruteforce():
+    """CellularTexture2D::getClosestDistances (Texture.cpp:252-354):
+    grid-bucketed 3x3 gather must match a brute-force toroidal kNN."""
+    from cse168_raytracer_tpu.models.textures import (build_cellular_texture,
+                                                      cellular_distances)
+    rng = np.random.RandomState(7)
+    pts = rng.random_sample((60, 2)).astype(np.float32)
+    tex = build_cellular_texture(60, grid_width=8, grid_height=8,
+                                 points=pts)
+    u = rng.random_sample(128).astype(np.float32)
+    v = rng.random_sample(128).astype(np.float32)
+
+    du = np.abs(u[:, None] - pts[None, :, 0])
+    dv = np.abs(v[:, None] - pts[None, :, 1])
+    du = np.minimum(du, 1.0 - du)
+    dv = np.minimum(dv, 1.0 - dv)
+    want = np.sort(np.sqrt(du * du + dv * dv), axis=1)[:, :4]
+
+    got = jax.jit(lambda u, v: cellular_distances(tex, u, v, 4))(
+        jnp.asarray(u), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-6)
+
+
+def test_cellular_lookup_formula_and_grad():
+    """lookup2D combine exp(-(f1-f0+f2-0.8*f3)*100) (Texture.cpp:238-245)
+    and gradient flow into the point positions."""
+    from cse168_raytracer_tpu.models.textures import (build_cellular_texture,
+                                                      cellular_distances,
+                                                      cellular_lookup)
+    tex = build_cellular_texture(40, grid_width=6, grid_height=6, seed=3)
+    u = jnp.linspace(0.05, 0.95, 32)
+    v = jnp.linspace(0.12, 0.88, 32)
+    f = cellular_distances(tex, u, v, 4)
+    want = np.exp(-(np.asarray(f[:, 1] - f[:, 0] + f[:, 2]
+                               - 0.8 * f[:, 3])) * 100.0)
+    got = np.asarray(cellular_lookup(tex, u, v))
+    np.testing.assert_allclose(got[:, 0], want, rtol=1e-5)
+    np.testing.assert_allclose(got[:, 1], got[:, 0])
+
+    def loss(points):
+        t = tex.replace(points=points)
+        return jnp.sum(cellular_lookup(t, u, v))
+
+    g = jax.grad(loss)(tex.points)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0.0
