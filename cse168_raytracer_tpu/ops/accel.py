@@ -130,26 +130,44 @@ def build_accel(pack: TrianglePack):
                       group_hi=jnp.asarray(ghi, jnp.float32))
 
 
-def attach_accel(scene, kind: str = "auto"):
+def attach_accel(scene, kind: str = "auto", **kwargs):
     """Morton-order the scene's triangles and attach an accelerator.
 
-    kind: "xla" = BlockAccel scan traversal; "pallas" = VMEM-resident
-    Pallas kernel (ops/pallas_intersect.py); "auto" = pallas when the
-    triangle blocks fit the VMEM budget, else xla.
+    kind:
+      "block"  — 2-level BlockAccel scan traversal (fixed block sweep
+                 with group/block culling; strong for small scenes);
+      "bvh"    — per-ray ordered BVH walk (ops/bvh.py): exact
+                 reference-style traversal with the lowest tri-tests/
+                 ray; the validation/stats path (slow on TPU: per-ray
+                 gathers);
+      "packet" — tile-packet BVH walk (ops/packet.py): shared per-tile
+                 stack, MXU leaf packets;
+      "pallas" — legacy VMEM-resident block kernel
+                 (ops/pallas_intersect.py);
+      "auto"   — current best default for the backend.
+    Extra kwargs (leaf_size, tile) forward to the builder.
     Returns the updated Scene.
     """
     pack = scene.tris
     perm = morton_order(np.asarray(pack.v0), np.asarray(pack.e1),
                         np.asarray(pack.e2), np.asarray(pack.valid))
     pack = reorder_pack(pack, perm)
+    if kind == "auto":
+        kind = "block"
+    if kind == "bvh":
+        from cse168_raytracer_tpu.ops.bvh import build_bvh
+        return scene.replace(tris=pack, accel=build_bvh(pack, **kwargs))
+    if kind == "packet":
+        from cse168_raytracer_tpu.ops.packet import build_packet_accel
+        return scene.replace(tris=pack,
+                             accel=build_packet_accel(pack, **kwargs))
     if kind == "pallas":
-        # Available but not the default: v1 kernel measured slower than
-        # the tuned XLA scan (K=6 MXU matmuls + 3-lane slab tests
-        # underutilize the hardware); planar-layout VPU kernel is the
-        # planned follow-up.
+        # legacy v1 kernel: measured slower than the tuned XLA scan
+        # (K=6 MXU matmuls + 3-lane slab tests underutilize the MXU)
         from cse168_raytracer_tpu.ops.pallas_intersect import \
             build_pallas_blocks
         return scene.replace(tris=pack, accel=build_pallas_blocks(pack))
+    assert kind == "block", kind
     return scene.replace(tris=pack, accel=build_accel(pack))
 
 
@@ -157,8 +175,17 @@ def scene_closest_hit(accel, tris: TrianglePack, spheres: SpherePool,
                       planes: PlanePool, o, d, tmin=0.0,
                       tmax=MIRO_TMAX, blpatches=None) -> Hit:
     """Dispatch on the attached accelerator type."""
+    from cse168_raytracer_tpu.ops.bvh import BVHAccel, bvh_closest_hit
+    from cse168_raytracer_tpu.ops.packet import (PacketAccel,
+                                                 packet_closest_hit)
     from cse168_raytracer_tpu.ops.pallas_intersect import (PallasTriBlocks,
                                                            pallas_closest_hit)
+    if isinstance(accel, BVHAccel):
+        return bvh_closest_hit(accel, tris, spheres, planes, o, d,
+                               tmin, tmax, blpatches=blpatches)
+    if isinstance(accel, PacketAccel):
+        return packet_closest_hit(accel, tris, spheres, planes, o, d,
+                                  tmin, tmax, blpatches=blpatches)
     if isinstance(accel, PallasTriBlocks):
         interp = jax.default_backend() not in ("tpu",)
         h = pallas_closest_hit(accel, tris, spheres, planes, o, d,
@@ -275,6 +302,20 @@ def scene_any_hit(accel: BlockAccel, tris: TrianglePack,
     gradient, and keeping AD out of the traversal scans avoids
     linearization residuals that blow up compile time.
     """
+    from cse168_raytracer_tpu.ops.bvh import BVHAccel, bvh_any_hit
+    from cse168_raytracer_tpu.ops.packet import PacketAccel, packet_any_hit
+    from cse168_raytracer_tpu.ops.pallas_intersect import PallasTriBlocks
+    if isinstance(accel, PallasTriBlocks):
+        return scene_closest_hit(accel, tris, spheres, planes,
+                                 jax.lax.stop_gradient(o),
+                                 jax.lax.stop_gradient(d), tmin, tmax,
+                                 blpatches=blpatches).hit
+    if isinstance(accel, BVHAccel):
+        return bvh_any_hit(accel, tris, spheres, planes, o, d, tmin, tmax,
+                           blpatches=blpatches)
+    if isinstance(accel, PacketAccel):
+        return packet_any_hit(accel, tris, spheres, planes, o, d,
+                              tmin, tmax, blpatches=blpatches)
     (accel, tris, spheres, planes, o, d, tmin, tmax, blpatches) = \
         jax.lax.stop_gradient((accel, tris, spheres, planes, o, d,
                                tmin, tmax, blpatches))

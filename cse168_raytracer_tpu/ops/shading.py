@@ -121,15 +121,13 @@ def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
         intensity = jnp.ones_like(s.dist)
         occluded = jnp.zeros(s.dist.shape, bool)
         if not disable_shadows:
-            from cse168_raytracer_tpu.ops.accel import (BlockAccel,
-                                                        scene_any_hit,
+            from cse168_raytracer_tpu.ops.accel import (scene_any_hit,
                                                         scene_closest_hit)
             sh_o = surf.p + s.l * EPSILON
             # suppress shadow work for lanes that missed the scene
             sh_tmax = jnp.where(surf.hit, s.dist, -1.0)
             n_shadow += 1
-            if (isinstance(scene.accel, BlockAccel)
-                    and not static.any_refractive):
+            if scene.accel is not None and not static.any_refractive:
                 # boolean occlusion suffices -> any-hit with early exit
                 # (gradient-stopped inside scene_any_hit)
                 occluded = scene_any_hit(scene.accel, scene.tris,
