@@ -30,6 +30,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from cse168_raytracer_tpu.core.fastgather import take_rows
 import numpy as np
 
 SHININESS_INF = 1.0e30  # stand-in for the reference's `infinity` shininess
@@ -78,15 +80,15 @@ def energy_clamp(kd, ks, kt):
 
 
 def is_reflective(mat: MaterialTable, mid: jax.Array) -> jax.Array:
-    return jnp.any(mat.ks[mid] > 0.0, axis=-1)
+    return jnp.any(take_rows(mat.ks, mid) > 0.0, axis=-1)
 
 
 def is_refractive(mat: MaterialTable, mid: jax.Array) -> jax.Array:
-    return jnp.any(mat.kt[mid] > 0.0, axis=-1)
+    return jnp.any(take_rows(mat.kt, mid) > 0.0, axis=-1)
 
 
 def is_diffuse(mat: MaterialTable, mid: jax.Array) -> jax.Array:
-    return jnp.any(mat.kd[mid] > 0.0, axis=-1)
+    return jnp.any(take_rows(mat.kd, mid) > 0.0, axis=-1)
 
 
 class MaterialBuilder:

@@ -35,6 +35,8 @@ from typing import NamedTuple, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from cse168_raytracer_tpu.core.fastgather import take_rows
 from flax import struct
 
 from cse168_raytracer_tpu.config import PI
@@ -485,16 +487,17 @@ def diffuse_color(mat: MaterialTable, images: Sequence[ImageTexture],
     """
     if kinds is None:
         kinds = (TEX_CONSTANT, TEX_CHECKER, TEX_STONE)
-    kind = mat.texture_kind[mid]
-    params = mat.texture_params[mid]
+    kind = take_rows(mat.texture_kind, mid)
+    params = take_rows(mat.texture_params, mid)
     u, v = uv[..., 0], uv[..., 1]
     out = jnp.zeros(mid.shape + (3,), dtype=jnp.float32)
 
     if TEX_CONSTANT in kinds:
-        out = jnp.where((kind == TEX_CONSTANT)[..., None], mat.kd[mid], out)
+        out = jnp.where((kind == TEX_CONSTANT)[..., None],
+                        take_rows(mat.kd, mid), out)
     if TEX_CHECKER in kinds:
-        c = checker_lookup(u, v, params[..., 0], mat.kd[mid],
-                           mat.texture_color2[mid])
+        c = checker_lookup(u, v, params[..., 0], take_rows(mat.kd, mid),
+                           take_rows(mat.texture_color2, mid))
         out = jnp.where((kind == TEX_CHECKER)[..., None], c, out)
     if TEX_STONE in kinds:
         c = stone_lookup(u, v, params[..., 0])
@@ -517,12 +520,12 @@ def diffuse_color(mat: MaterialTable, images: Sequence[ImageTexture],
     if TEX_IMAGE in kinds:
         for img_id, tex in enumerate(images):
             c = image_lookup(tex, u, v)
-            sel = (kind == TEX_IMAGE) & (mat.image_id[mid] == img_id)
+            sel = (kind == TEX_IMAGE) & (take_rows(mat.image_id, mid) == img_id)
             out = jnp.where(sel[..., None], c, out)
     if TEX_CELLULAR in kinds:
         for cell_id, tex in enumerate(cellulars):
             c = cellular_lookup(tex, u, v)
-            sel = (kind == TEX_CELLULAR) & (mat.image_id[mid] == cell_id)
+            sel = (kind == TEX_CELLULAR) & (take_rows(mat.image_id, mid) == cell_id)
             out = jnp.where(sel[..., None], c, out)
     return out
 

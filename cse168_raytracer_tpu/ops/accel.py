@@ -142,18 +142,28 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
                  gathers);
       "packet" — tile-packet BVH walk (ops/packet.py): shared per-tile
                  stack, MXU leaf packets;
+      "pallas_sah" — Pallas traversal kernel over a native binned-SAH
+                 tree (ops/pallas_bvh.py + csrc/bvh_builder.cpp): the
+                 fast default on TPU (measured 24.5 M closest-hit
+                 rays/s on bunny1 at 512^2 vs 6 M for "block");
       "pallas" — legacy VMEM-resident block kernel
                  (ops/pallas_intersect.py);
-      "auto"   — current best default for the backend.
+      "auto"   — pallas_sah on TPU, block elsewhere (the Pallas kernel
+                 only runs interpreted off-TPU, far too slow).
     Extra kwargs (leaf_size, tile) forward to the builder.
     Returns the updated Scene.
     """
+    if kind == "auto":
+        kind = "pallas_sah" if jax.default_backend() == "tpu" else "block"
+    if kind == "pallas_sah":
+        # the SAH builder defines its own triangle order (leaf blocks)
+        from cse168_raytracer_tpu.ops.pallas_bvh import build_pallas_bvh_sah
+        new_pack, accel = build_pallas_bvh_sah(scene.tris)
+        return scene.replace(tris=new_pack, accel=accel)
     pack = scene.tris
     perm = morton_order(np.asarray(pack.v0), np.asarray(pack.e1),
                         np.asarray(pack.e2), np.asarray(pack.valid))
     pack = reorder_pack(pack, perm)
-    if kind == "auto":
-        kind = "block"
     if kind == "bvh":
         from cse168_raytracer_tpu.ops.bvh import build_bvh
         return scene.replace(tris=pack, accel=build_bvh(pack, **kwargs))
@@ -178,8 +188,13 @@ def scene_closest_hit(accel, tris: TrianglePack, spheres: SpherePool,
     from cse168_raytracer_tpu.ops.bvh import BVHAccel, bvh_closest_hit
     from cse168_raytracer_tpu.ops.packet import (PacketAccel,
                                                  packet_closest_hit)
+    from cse168_raytracer_tpu.ops.pallas_bvh import (PallasBVH,
+                                                     pallas_bvh_closest_hit)
     from cse168_raytracer_tpu.ops.pallas_intersect import (PallasTriBlocks,
                                                            pallas_closest_hit)
+    if isinstance(accel, PallasBVH):
+        return pallas_bvh_closest_hit(accel, tris, spheres, planes, o, d,
+                                      tmin, tmax, blpatches=blpatches)
     if isinstance(accel, BVHAccel):
         return bvh_closest_hit(accel, tris, spheres, planes, o, d,
                                tmin, tmax, blpatches=blpatches)
@@ -304,7 +319,12 @@ def scene_any_hit(accel: BlockAccel, tris: TrianglePack,
     """
     from cse168_raytracer_tpu.ops.bvh import BVHAccel, bvh_any_hit
     from cse168_raytracer_tpu.ops.packet import PacketAccel, packet_any_hit
+    from cse168_raytracer_tpu.ops.pallas_bvh import (PallasBVH,
+                                                     pallas_bvh_any_hit)
     from cse168_raytracer_tpu.ops.pallas_intersect import PallasTriBlocks
+    if isinstance(accel, PallasBVH):
+        return pallas_bvh_any_hit(accel, tris, spheres, planes, o, d,
+                                  tmin, tmax, blpatches=blpatches)
     if isinstance(accel, PallasTriBlocks):
         return scene_closest_hit(accel, tris, spheres, planes,
                                  jax.lax.stop_gradient(o),

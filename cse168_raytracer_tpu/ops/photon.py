@@ -42,6 +42,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from cse168_raytracer_tpu.core.fastgather import take_rows
 from flax import struct
 
 from cse168_raytracer_tpu.config import EPSILON, PI, RenderConfig
@@ -199,8 +201,8 @@ def trace_photon_batch(scene: Scene, static: SceneStatic, light_i: int,
         tex = diffuse_color(mats, scene.images, mid, surf.uv, surf.p,
                             static.texture_kinds)
         p_diff = jnp.mean(tex, axis=-1)                 # average()
-        p_refl = p_diff + jnp.mean(mats.ks[mid], axis=-1)
-        p_refr = p_refl + jnp.mean(mats.kt[mid], axis=-1)
+        p_refl = p_diff + jnp.mean(take_rows(mats.ks, mid), axis=-1)
+        p_refr = p_refl + jnp.mean(take_rows(mats.kt, mid), axis=-1)
         rnd = jax.random.uniform(k_rr, (n_emit,))
 
         take_diff = live & (rnd < p_diff)
@@ -226,12 +228,12 @@ def trace_photon_batch(scene: Scene, static: SceneStatic, light_i: int,
         diff_power = tex * power / jnp.maximum(p_diff, 1e-12)[:, None]
 
         mirror = safe_normalize(reflect(dirs, n_unit))
-        ior = mats.ior[mid]
+        ior = take_rows(mats.ior, mid)
         rs = fresnel_rs(dirs, n_unit, ior)
         refr_d, _ = refract(dirs, n_unit, ior)
         refr_d = safe_normalize(refr_d)
         if path_tracing:
-            shin = mats.shininess[mid]
+            shin = take_rows(mats.shininess, mid)
             mirror, _ = phong_lobe(k_lobe, mirror, shin)
             refr_d, _ = phong_lobe(jax.random.fold_in(k_lobe, 1),
                                    refr_d, shin)

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from cse168_raytracer_tpu.config import EPSILON
+from cse168_raytracer_tpu.core.fastgather import take_rows
 from cse168_raytracer_tpu.core.vecmath import safe_normalize
 from cse168_raytracer_tpu.models.lights import nee_sample
 from cse168_raytracer_tpu.models.materials import SHININESS_INF, is_refractive
@@ -105,8 +106,8 @@ def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
     tex_color = diffuse_color(mats, scene.images, mid, surf.uv, surf.p,
                               static.texture_kinds,
                               cellulars=scene.cellulars)
-    kd = mats.kd[mid]
-    shininess = mats.shininess[mid]
+    kd = take_rows(mats.kd, mid)
+    shininess = take_rows(mats.shininess, mid)
     n = surf.n
     e = -ray_d
 
@@ -124,8 +125,13 @@ def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
             from cse168_raytracer_tpu.ops.accel import (scene_any_hit,
                                                         scene_closest_hit)
             sh_o = surf.p + s.l * EPSILON
-            # suppress shadow work for lanes that missed the scene
-            sh_tmax = jnp.where(surf.hit, s.dist, -1.0)
+            # suppress shadow work for lanes that missed the scene, for
+            # backfacing lanes with no highlight term (their visible
+            # contribution is zero either way, Phong.cpp:140-156), and
+            # for lanes outside a directional light's beam
+            could_shine = (s.n_dot_l > 0.0) | (shininess < SHININESS_INF)
+            sh_live = surf.hit & could_shine & s.in_beam
+            sh_tmax = jnp.where(sh_live, s.dist, -1.0)
             n_shadow += 1
             if scene.accel is not None and not static.any_refractive:
                 # boolean occlusion suffices -> any-hit with early exit

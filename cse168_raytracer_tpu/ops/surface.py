@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from cse168_raytracer_tpu.config import PI
+from cse168_raytracer_tpu.core.fastgather import take_rows
 from cse168_raytracer_tpu.core.vecmath import dotk, safe_normalize
 from cse168_raytracer_tpu.models.geometry import (PlanePool, SpherePool,
                                                   TrianglePack)
@@ -44,19 +45,34 @@ class Surface(NamedTuple):
 
 
 def _tri_surface(pack: TrianglePack, o, d, tri_id):
-    v0 = pack.v0[tri_id]
-    e1 = pack.e1[tri_id]
-    e2 = pack.e2[tri_id]
-    n_geo = pack.n_geo[tri_id]
+    # ONE fused row gather for every per-triangle attribute: XLA's TPU
+    # gather costs ~10 ns per output row independent of row width, so
+    # 12 per-field gathers would cost 12x this one (and 9 scatter-add
+    # adjoints in the backward). Layout below is sliced back apart.
+    attr = jnp.concatenate([
+        pack.v0, pack.e1, pack.e2, pack.n_geo,
+        pack.n0, pack.n1, pack.n2,
+        pack.t0, pack.t1, pack.t2,
+        pack.has_uv[:, None].astype(jnp.float32),
+        pack.material_id[:, None].astype(jnp.float32),
+    ], axis=1)                                  # (T, 29)
+    g = attr[tri_id]                            # (N, 29)
+    v0, e1, e2 = g[:, 0:3], g[:, 3:6], g[:, 6:9]
+    n_geo = g[:, 9:12]
+    n0, n1, n2 = g[:, 12:15], g[:, 15:18], g[:, 18:21]
+    t0, t1, t2 = g[:, 21:23], g[:, 23:25], g[:, 25:27]
+    has_uv = g[:, 27] > 0.5
+    mat_id = jnp.round(g[:, 28]).astype(jnp.int32)
+
     den = jnp.sum(-d * n_geo, axis=-1)
     safe_den = jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
     om_a = o - v0
     beta = jnp.sum(-d * jnp.cross(om_a, e2), axis=-1) / safe_den
     gamma = jnp.sum(-d * jnp.cross(e1, om_a), axis=-1) / safe_den
     p = v0 + beta[:, None] * e1 + gamma[:, None] * e2   # Triangle.cpp:160
-    n = ((1.0 - beta - gamma)[:, None] * pack.n0[tri_id]
-         + beta[:, None] * pack.n1[tri_id]
-         + gamma[:, None] * pack.n2[tri_id])            # Triangle.cpp:162
+    n = ((1.0 - beta - gamma)[:, None] * n0
+         + beta[:, None] * n1
+         + gamma[:, None] * n2)                         # Triangle.cpp:162
 
     # UV (Triangle.cpp:190-221): discard "largest" normal axis.
     # Reference: i=0, j=1; if (n.x > n.z) i=2; else if (n.y > n.z) j=2.
@@ -75,39 +91,41 @@ def _tri_surface(pack: TrianglePack, o, d, tri_id):
     ub = jnp.maximum(det_pc / safe_bc, 0.0)
     ug = jnp.maximum(det_bp / safe_bc, 0.0)
     ua = jnp.maximum(1.0 - (ub + ug), 0.0)
-    t0, t1, t2 = pack.t0[tri_id], pack.t1[tri_id], pack.t2[tri_id]
     uv = (ua[:, None] * t0 + ub[:, None] * t1 + ug[:, None] * t2)
     # meshes without texcoords return (0,0) (Triangle.cpp:174-175)
-    uv = jnp.where(pack.has_uv[tri_id][:, None], uv, 0.0)
-    return p, n, n_geo, uv, pack.material_id[tri_id]
+    uv = jnp.where(has_uv[:, None], uv, 0.0)
+    return p, n, n_geo, uv, mat_id
 
 
 def _sphere_surface(pool: SpherePool, o, d, t, sph_id):
-    c = pool.center[sph_id]
+    c = take_rows(pool.center, sph_id)
     p = o + t[:, None] * d
     n = p - c
     n_unit = safe_normalize(n)
     u = jnp.arctan2(n_unit[:, 0], n_unit[:, 2]) / (2.0 * PI) + 0.5
     v = jnp.clip(jnp.arcsin(jnp.clip(n_unit[:, 1], -1.0, 1.0)),
                  -PI / 2, PI / 2) / PI + 0.5
-    return p, n_unit, n, jnp.stack([u, v], axis=-1), pool.material_id[sph_id]
+    return (p, n_unit, n, jnp.stack([u, v], axis=-1),
+            take_rows(pool.material_id, sph_id))
 
 
 def _plane_surface(pool: PlanePool, o, d, t, pl_id):
-    nrm = pool.normal[pl_id]
+    nrm = take_rows(pool.normal, pl_id)
     p = o + t[:, None] * d
     uv = jnp.stack([p[:, 0], p[:, 2]], axis=-1)   # Plane.cpp:50-60
-    return p, nrm, nrm, uv, pool.material_id[pl_id]
+    return p, nrm, nrm, uv, take_rows(pool.material_id, pl_id)
 
 
 def _blpatch_surface(pool, o, d, t, bp_id):
     """Bilinear patch shading data at the recorded hit t: solve (u, v)
     for the winning patch from P = o + t*d (Newton on the bilinear
     system — 4 iterations from the patch center), normal = Su x Sv."""
-    p00 = pool.p00[bp_id]
-    a3 = pool.p11[bp_id] - pool.p10[bp_id] - pool.p01[bp_id] + p00
-    b3 = pool.p10[bp_id] - p00
-    c3 = pool.p01[bp_id] - p00
+    p00 = take_rows(pool.p00, bp_id)
+    p10 = take_rows(pool.p10, bp_id)
+    p01 = take_rows(pool.p01, bp_id)
+    a3 = take_rows(pool.p11, bp_id) - p10 - p01 + p00
+    b3 = p10 - p00
+    c3 = p01 - p00
     p = o + t[:, None] * d
     rhs = p - p00
     u = jnp.full(t.shape, 0.5)
@@ -131,7 +149,8 @@ def _blpatch_surface(pool, o, d, t, bp_id):
     su = v[:, None] * a3 + b3
     sv = u[:, None] * a3 + c3
     n = jnp.cross(su, sv)
-    return p, n, n, jnp.stack([u, v], axis=-1), pool.material_id[bp_id]
+    return (p, n, n, jnp.stack([u, v], axis=-1),
+            take_rows(pool.material_id, bp_id))
 
 
 def make_surface(tris: TrianglePack, spheres: SpherePool, planes: PlanePool,

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from cse168_raytracer_tpu.config import EPSILON, RenderConfig
+from cse168_raytracer_tpu.core.fastgather import take_rows
 from cse168_raytracer_tpu.core.sampling import phong_lobe
 from cse168_raytracer_tpu.core.vecmath import (fresnel_rs, reflect, refract,
                                                safe_normalize)
@@ -168,12 +169,22 @@ def integrate(scene: Scene, static: SceneStatic, o: jax.Array, d: jax.Array,
         radiance = radiance.at[wf.pixel].add(wf.weight * add, mode="drop")
 
         # ---- children ----
+        # purely diffuse scenes never spawn children (the reference's
+        # recursion just doesn't recurse past Phong::shade when ks and
+        # kt are zero, Scene.cpp:302-336) — skip the Fresnel/compact
+        # machinery statically
+        if not (static.any_reflective or static.any_refractive):
+            dead = Wavefront(o=wf.o, d=wf.d, weight=jnp.zeros_like(wf.weight),
+                             pixel=wf.pixel,
+                             alive=jnp.zeros_like(wf.alive))
+            shad = shad + n_sh * jnp.sum(live_hit.astype(jnp.int32))
+            return (dead, radiance, sec, shad, drop)
         mid = surf.material_id
         n = surf.n
-        ks = ks_t[mid]
-        kt = kt_t[mid]
-        ior = ior_t[mid]
-        shin = shininess[mid]
+        ks = take_rows(ks_t, mid)
+        kt = take_rows(kt_t, mid)
+        ior = take_rows(ior_t, mid)
+        shin = take_rows(shininess, mid)
 
         refl_flag = jnp.any(ks > 0, axis=-1)
         refr_flag = jnp.any(kt > 0, axis=-1)
@@ -232,9 +243,18 @@ def render_hdr(scene: Scene, static: SceneStatic, cam: Camera,
     """
     w, h = cfg.width, cfg.height
     n_pix = w * h
-    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-    xs = xs.reshape(-1)
-    ys = ys.reshape(-1)
+    # 16x8 pixel-block ray order: traversal tiles see compact pixel
+    # footprints instead of quarter-scanlines (measured 1.6x on the
+    # Pallas BVH, bunny1 512^2: 17.1 -> 10.7 ms). The per-pixel scatter
+    # by `pixel` id makes the order transparent to the image. Built in
+    # numpy: shapes are static and render_hdr may itself be traced.
+    import numpy as np_
+    ys_n, xs_n = np_.meshgrid(np_.arange(h), np_.arange(w), indexing="ij")
+    xs_n = xs_n.reshape(-1)
+    ys_n = ys_n.reshape(-1)
+    order = np_.lexsort((xs_n % 16, ys_n % 8, xs_n // 16, ys_n // 8))
+    xs = jnp.asarray(xs_n[order])
+    ys = jnp.asarray(ys_n[order])
     pixel = (ys * w + xs).astype(jnp.int32)
 
     sampled = cfg.path_tracing or cfg.dof

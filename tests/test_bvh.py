@@ -134,3 +134,41 @@ def test_empty_interval_rays(teapot_pack):
     paccel = build_packet_accel(teapot_pack, leaf_size=32, tile=128)
     hp = packet_closest_hit_triangles(paccel, o, d, 0.0, -1.0)
     assert not np.any(np.asarray(hp.hit))
+
+
+def test_pallas_sah_matches_brute_force(teapot_pack, rays):
+    """Pallas traversal kernel (interpret mode off-TPU) over the native
+    SAH tree must reproduce brute-force hits exactly."""
+    from cse168_raytracer_tpu.ops.pallas_bvh import (
+        build_pallas_bvh_sah, pallas_bvh_closest_hit_triangles)
+    o, d = rays
+    o, d = o[:512], d[:512]   # interpret mode is slow; keep it small
+    new_pack, accel = build_pallas_bvh_sah(teapot_pack)
+    h_ref = intersect_triangles(new_pack, o, d, 0.0, 1e10)
+    h = pallas_bvh_closest_hit_triangles(accel, o, d, 0.0, 1e10,
+                                         interpret=True)
+    _check_against_brute(h, h_ref)
+    occ = pallas_bvh_closest_hit_triangles(accel, o, d, 0.0, 1e10,
+                                           any_hit=True, interpret=True)
+    assert np.array_equal(np.asarray(occ.hit), np.asarray(h_ref.hit))
+
+
+def test_pallas_sah_render_matches_block(teapot_pack):
+    """End-to-end render through the Pallas SAH accelerator matches the
+    block-accel render bit-for-bit on CPU."""
+    import jax
+    from cse168_raytracer_tpu.config import RenderConfig
+    from cse168_raytracer_tpu.scenes import build
+    from cse168_raytracer_tpu.ops.accel import attach_accel
+    from cse168_raytracer_tpu.render.integrator import render_hdr
+
+    cfg = RenderConfig(width=32, height=32, trace_depth=2)
+    imgs = {}
+    for kind in ("block", "pallas_sah"):
+        scene, static, cam, c = build("teapot", cfg)
+        scene = attach_accel(scene, kind=kind)
+        hdr, _ = jax.jit(lambda s, st=static, cm=cam, cc=c: render_hdr(
+            s, st, cm, cc, jax.random.key(0)))(scene)
+        imgs[kind] = np.asarray(hdr)
+    np.testing.assert_allclose(imgs["pallas_sah"], imgs["block"],
+                               rtol=1e-5, atol=1e-6)
