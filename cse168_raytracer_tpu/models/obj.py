@@ -190,8 +190,15 @@ def load_obj(path: str, ctm: np.ndarray | None = None):
 
     # Average pass (TriangleMeshLoad.cpp:287-308): vertex average over ALL
     # neighbor normals, written back only to generated ("fix") entries.
+    # Reference quirk: `Vector3 avg;` default-initializes to (0, 1, 2)
+    # (Vector3.h:26-27), so the accumulated sum STARTS at (0,1,2) before
+    # the neighbors are added — generated normals of low-valence
+    # vertices are visibly polluted by it (verified against the
+    # headless reference on cornell_box_2.obj: wall vertex normals come
+    # out at normalize((0,1,2) + 2*(1,0,0)) = (0.67, 0.33, 0.67)).
+    # The /= count before normalize() cancels out; the offset does not.
     for _vi, nlist in neighbor_normals.items():
-        avg = normals_arr[nlist].mean(axis=0)
+        avg = np.array([0.0, 1.0, 2.0]) + normals_arr[nlist].sum(axis=0)
         ln = np.linalg.norm(avg)
         if ln > 0:
             avg = avg / ln

@@ -14,9 +14,11 @@ is reproduced exactly (constants and all) so radiance matches:
 - CloudTexture: sigmoid-shaped fractal noise (Texture.h:152-164).
   C++ quirk note: CloudTexture declares lookup2D(tex_coord3d_t) which
   *hides* but does not override the virtual lookup2D(tex_coord2d_t),
-  so through a Texture* the reference actually returns black; we
-  implement the obvious intent (the formula) since the texture is only
-  ever used as an environment where the formula is what renders.
+  so through a Texture* the reference actually returns BLACK for cloud
+  environments (verified against the headless reference build:
+  testsphere.ppm has a black sky). env_lookup reproduces that by
+  default (Environment.quirk_cloud_env_black); the formula itself is
+  kept (and tested) for quirk_cloud_env_black=False.
 - Petal/Stem/Leaf/FlowerCenter: final-scene textures
   (Texture.cpp:442-505, Texture.h:184-277).
 - LoadedTexture: bilinear filtering with wraparound and post-interp
@@ -427,18 +429,43 @@ class Environment(NamedTuple):
     cloud_params: Optional[jax.Array]  # (8,) CloudTexture params or None
     rotation: jax.Array              # (2,) phi/theta offsets (Scene.h env rot)
     bg_color: jax.Array              # (3,)
+    # Reference quirk (Texture.h:152 vs Texture.h:66): CloudTexture
+    # declares lookup2D(tex_coord3d_t) which HIDES — not overrides —
+    # Texture::lookup2D(tex_coord2d_t), so Scene::getEnvironmentMap
+    # always gets the base class's Vector3(0,0,0) for cloud
+    # environments. Golden-image parity (testsphere.ppm: black sky)
+    # requires reproducing it; set False to actually see the clouds.
+    quirk_cloud_env_black: bool = True
+
+
+def _env_flatten(e: Environment):
+    # the quirk flag is STATIC (python control flow in env_lookup);
+    # as a pytree leaf it would trace to an array when a Scene is
+    # passed as a jit argument
+    return ((e.image, e.cloud_params, e.rotation, e.bg_color),
+            (e.quirk_cloud_env_black,))
+
+
+def _env_unflatten(aux, children):
+    return Environment(*children, quirk_cloud_env_black=aux[0])
+
+
+jax.tree_util.register_pytree_node(Environment, _env_flatten,
+                                   _env_unflatten)
 
 
 def make_environment(image: Optional[ImageTexture] = None,
                      cloud_params=None,
                      rotation=(0.0, 0.0),
-                     bg_color=(0.0, 0.0, 0.0)) -> Environment:
+                     bg_color=(0.0, 0.0, 0.0),
+                     quirk_cloud_env_black: bool = True) -> Environment:
     return Environment(
         image=image,
         cloud_params=(None if cloud_params is None
                       else jnp.asarray(cloud_params, jnp.float32)),
         rotation=jnp.asarray(rotation, jnp.float32),
-        bg_color=jnp.asarray(bg_color, jnp.float32))
+        bg_color=jnp.asarray(bg_color, jnp.float32),
+        quirk_cloud_env_black=quirk_cloud_env_black)
 
 
 def env_lookup(env: Environment, d: jax.Array, is_diffuse: jax.Array):
@@ -459,6 +486,10 @@ def env_lookup(env: Environment, d: jax.Array, is_diffuse: jax.Array):
         hi = image_lookup(env.image, u, v, lowres=False)
         lo = image_lookup(env.image, u, v, lowres=True)
         return jnp.where(is_diffuse[..., None], lo, hi)
+    if env.quirk_cloud_env_black:
+        # see Environment.quirk_cloud_env_black: the reference's cloud
+        # environments resolve to the base-class black lookup
+        return jnp.zeros(shape + (3,), jnp.float32)
     params = jnp.broadcast_to(env.cloud_params, shape + (8,))
     return cloud_lookup(u, v, params)
 

@@ -131,14 +131,6 @@ def integrate(scene: Scene, static: SceneStatic, o: jax.Array, d: jax.Array,
     ks_t = scene.materials.ks
     kt_t = scene.materials.kt
 
-    def level_body(carry, level_key):
-        # skip whole levels once the wavefront is dead (all-diffuse
-        # scenes die after level 0; the reference's recursion just
-        # doesn't recurse — this is the wavefront equivalent)
-        return jax.lax.cond(jnp.any(carry[0].alive),
-                            lambda c: _live_level(c, level_key),
-                            lambda c: c, carry), None
-
     def _live_level(carry, level_key):
         wf, radiance, sec, shad, drop = carry
         # dead lanes get tmax < tmin: every slab test fails, so whole
@@ -224,10 +216,19 @@ def integrate(scene: Scene, static: SceneStatic, o: jax.Array, d: jax.Array,
         drop = drop + dropped
         return (new_wf, radiance, sec, shad, drop)
 
-    keys = jax.random.split(key, depth + 1)
+    # Levels are UNROLLED in python, not lax.scan-ed: XLA conditionals
+    # and scan carries copy the multi-MB radiance/wavefront buffers per
+    # level (profiled at ~4 ms/level of pure copies), and scenes that
+    # cannot spawn children statically collapse to ONE level here — the
+    # reference's recursion simply not recursing (Scene.cpp:302-336).
+    can_spawn = static.any_reflective or static.any_refractive
+    n_levels = (depth + 1) if can_spawn else 1
+    keys = jax.random.split(key, max(n_levels, 1))
     zero = jnp.int32(0)
-    (wf, radiance, sec, shad, drop), _ = jax.lax.scan(
-        level_body, (wf, radiance, zero, zero, zero), keys)
+    carry = (wf, radiance, zero, zero, zero)
+    for li in range(n_levels):
+        carry = _live_level(carry, keys[li])
+    wf, radiance, sec, shad, drop = carry
 
     stats = RenderStats(primary_rays=jnp.int32(n0), secondary_rays=sec,
                         shadow_rays=shad, dropped_rays=drop)

@@ -145,15 +145,18 @@ void* obj_parse(const char* path, const double* ctm /* 16, row-major */,
   std::fclose(f);
 
   // averaging pass (TriangleMeshLoad.cpp:287-308): vertex average over
-  // ALL neighbor normals, written back only to generated entries
+  // ALL neighbor normals, written back only to generated entries.
+  // Reference quirk: the accumulator is a default Vector3, which the
+  // reference initializes to (0, 1, 2) (Vector3.h:26-27) — the sum
+  // starts there, visibly tilting generated normals of low-valence
+  // vertices. The /=count before normalize() cancels; the offset stays.
   for (auto& kv : neighbor) {
     const std::vector<int>& lst = kv.second;
-    double ax = 0, ay = 0, az = 0;
+    double ax = 0, ay = 1, az = 2;
     for (int ni : lst) {
       ax += nrm[3 * ni]; ay += nrm[3 * ni + 1]; az += nrm[3 * ni + 2];
     }
-    double cnt = (double)lst.size();
-    Vec3 avg = normalize({ax / cnt, ay / cnt, az / cnt});
+    Vec3 avg = normalize({ax, ay, az});
     for (int ni : lst) {
       if (fix[ni]) {
         nrm[3 * ni] = avg.x; nrm[3 * ni + 1] = avg.y; nrm[3 * ni + 2] = avg.z;
