@@ -154,7 +154,14 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
     Returns the updated Scene.
     """
     if kind == "auto":
-        kind = "pallas_sah" if jax.default_backend() == "tpu" else "block"
+        # the Pallas kernel keeps its leaf table VMEM-resident: 8 KB per
+        # 32-tri leaf, ~100 MB usable VMEM on v5e -> ~380k-triangle cap
+        # (bunny20-scale falls back to the streaming-friendly block
+        # sweep until the HBM-streaming kernel lands)
+        n_tris = int(np.asarray(scene.tris.valid).sum())
+        fits_vmem = n_tris <= 380_000
+        kind = ("pallas_sah" if jax.default_backend() == "tpu" and fits_vmem
+                else "block")
     if kind == "pallas_sah":
         # the SAH builder defines its own triangle order (leaf blocks)
         from cse168_raytracer_tpu.ops.pallas_bvh import build_pallas_bvh_sah

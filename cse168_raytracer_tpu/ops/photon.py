@@ -86,7 +86,15 @@ def _hash_cells(cells: jax.Array, table_size: int) -> jax.Array:
 
 def build_grid(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
                radius: float, max_per_cell: int = 64) -> PhotonGrid:
-    """Host-side grid build: hash, sort, upload."""
+    """Host-side grid build: hash, sort, upload.
+
+    Cells holding more than max_per_cell photons (caustic hotspots are
+    exactly where that happens) get the OVERFLOW photons' power folded
+    into the kept ones instead of silently dropped: total stored energy
+    is preserved exactly, at the cost of a position/direction error
+    bounded by the cell size (= gather radius). The gather
+    (grid_irradiance) only ever visits the first max_per_cell photons
+    of a run, so without this merge dense cells lose energy."""
     n = pos.shape[0]
     table_size = max(1 << int(np.ceil(np.log2(max(4 * n, 16)))), 16)
     cells = np.floor(pos / radius).astype(np.int64)
@@ -94,11 +102,26 @@ def build_grid(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
          ^ (cells[:, 1].astype(np.uint32) * np.uint32(_H2))
          ^ (cells[:, 2].astype(np.uint32) * np.uint32(_H3))) % table_size
     order = np.argsort(h, kind="stable")
+    pos_s = pos[order].astype(np.float64)
+    pow_s = power[order].astype(np.float64)
+    dir_s = dirs[order].astype(np.float64)
+    h_s = h[order]
+
+    if n:
+        starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        for s, c in zip(starts[counts > max_per_cell],
+                        counts[counts > max_per_cell]):
+            keep = slice(s, s + max_per_cell)
+            over = slice(s + max_per_cell, s + c)
+            pow_s[keep] += pow_s[over].sum(axis=0) / max_per_cell
+            pow_s[over] = 0.0   # beyond the gather cap: unreachable
+
     return PhotonGrid(
-        pos=jnp.asarray(pos[order], jnp.float32),
-        power=jnp.asarray(power[order], jnp.float32),
-        dir=jnp.asarray(dirs[order], jnp.float32),
-        cell_hash=jnp.asarray(h[order].astype(np.int32)),
+        pos=jnp.asarray(pos_s, jnp.float32),
+        power=jnp.asarray(pow_s, jnp.float32),
+        dir=jnp.asarray(dir_s, jnp.float32),
+        cell_hash=jnp.asarray(h_s.astype(np.int32)),
         radius=jnp.float32(radius),
         n_valid=jnp.int32(n),
         table_size=int(table_size),
@@ -120,10 +143,17 @@ def grid_irradiance(grid: PhotonGrid, p: jax.Array, n: jax.Array) -> jax.Array:
                                 axis=-1).reshape(27, 3).astype(np.int32))
     cells = base[:, None, :] + offs[None, :, :]        # (N, 27, 3)
     h = _hash_cells(cells, grid.table_size)            # (N, 27)
+    # distinct neighbor cells can hash to the SAME bucket; probing a
+    # bucket twice would double-count its photon run (the distance test
+    # cannot tell). Sort the 27 probes and keep one per bucket.
+    h = jnp.sort(h, axis=1)
+    uniq = jnp.concatenate([jnp.ones_like(h[:, :1], bool),
+                            h[:, 1:] != h[:, :-1]], axis=1)
 
     start = jnp.searchsorted(grid.cell_hash, h, side="left")   # (N, 27)
     end = jnp.searchsorted(grid.cell_hash, h, side="right")
-    count = jnp.minimum(end - start, grid.max_per_cell)
+    count = jnp.where(uniq,
+                      jnp.minimum(end - start, grid.max_per_cell), 0)
 
     k = jnp.arange(grid.max_per_cell)                  # (K,)
     idx = start[..., None] + k                         # (N, 27, K)
@@ -256,6 +286,37 @@ def trace_photon_batch(scene: Scene, static: SceneStatic, light_i: int,
         mask=jnp.stack([l[3] for l in levels]))
 
 
+def trace_photon_batch_sharded(scene: Scene, static: SceneStatic,
+                               light_i: int, n_emit: int, caustic: bool,
+                               depth_limit: int, path_tracing: bool,
+                               key: jax.Array, mesh) -> _StoredBatch:
+    """Photon emission sharded over a device mesh — the TPU-native form
+    of the reference's OpenMP photon batches (Scene.cpp:372-394): each
+    device traces n_emit/n_dev photons with a device-unique key; the
+    per-level stored-photon arrays come back sharded on the photon axis
+    (no collective needed in the forward pass; the host concatenates).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    axis = mesh.axis_names[0]
+    n_dev = mesh.size
+    per = -(-n_emit // n_dev)
+
+    def emit(scene, key):
+        ti = jax.lax.axis_index(axis)
+        return trace_photon_batch(scene, static, light_i, per, caustic,
+                                  depth_limit, path_tracing,
+                                  jax.random.fold_in(key, ti))
+
+    out_specs = _StoredBatch(pos=P(None, axis, None),
+                             dir=P(None, axis, None),
+                             power=P(None, axis, None),
+                             mask=P(None, axis))
+    fn = shard_map(emit, mesh=mesh, in_specs=(P(), P()),
+                   out_specs=out_specs, check_vma=False)
+    return fn(scene, key)
+
+
 def _auto_radius(pos: np.ndarray, k_target: int, max_per_cell: int) -> float:
     """Pick the gather radius so a typical r-disc holds about
     min(k_target, 4*max_per_cell) photons — approximating the
@@ -285,10 +346,15 @@ def _auto_radius(pos: np.ndarray, k_target: int, max_per_cell: int) -> float:
 
 def build_photon_maps(scene: Scene, static: SceneStatic, cfg: RenderConfig,
                       key: jax.Array,
-                      path_tracing: Optional[bool] = None) -> Optional[PhotonMaps]:
+                      path_tracing: Optional[bool] = None,
+                      mesh=None) -> Optional[PhotonMaps]:
     """Scene::tracePhotons + traceCausticPhotons: emit batches until the
     stored-photon target is reached, scale powers by 1/total_emitted
-    (Scene.cpp:402), build the hashed grids."""
+    (Scene.cpp:402), build the hashed grids.
+
+    With `mesh`, emission batches are sharded across the devices
+    (trace_photon_batch_sharded) — the reference's second parallel
+    dimension (OpenMP photon batches, Scene.cpp:372-394)."""
     if path_tracing is None:
         path_tracing = cfg.path_tracing
     kinds = np.asarray(scene.lights.kind)
@@ -300,16 +366,25 @@ def build_photon_maps(scene: Scene, static: SceneStatic, cfg: RenderConfig,
     # Scene.cpp:375 uses OMP batches of 10000; on TPU bigger wavefronts
     # amortize dispatch/launch overhead
     batch = 65536 if jax.default_backend() == "tpu" else 10000
+    if mesh is not None:
+        batch = -(-batch // mesh.size) * mesh.size
     maps = {}
     for caustic, target in ((False, cfg.photons_per_light),
                             (True, cfg.caustic_photons_per_light)):
         if target <= 0:
             maps[caustic] = None
             continue
-        fn = jax.jit(trace_photon_batch,
-                     static_argnames=("static", "light_i", "n_emit",
-                                      "caustic", "depth_limit",
-                                      "path_tracing"))
+        if mesh is not None:
+            fn = jax.jit(trace_photon_batch_sharded,
+                         static_argnames=("static", "light_i", "n_emit",
+                                          "caustic", "depth_limit",
+                                          "path_tracing", "mesh"))
+            fn = lambda *a, _fn=fn, **kw: _fn(*a, mesh=mesh, **kw)
+        else:
+            fn = jax.jit(trace_photon_batch,
+                         static_argnames=("static", "light_i", "n_emit",
+                                          "caustic", "depth_limit",
+                                          "path_tracing"))
         all_pos, all_dir, all_pow = [], [], []
         total_emitted = 0
         stored = 0

@@ -11,8 +11,10 @@ critical sections (Scene.cpp:112-115,157-163) and photon batches
   inserts the psum over "tiles" for replicated-parameter gradients
   (the gradient all-reduce of the north star), which XLA lowers to ICI
   collectives on a real slice.
-- photon emission (ops/photon.py) shards photon batches the same way
-  and psums the grid.
+- photon emission: ops/photon.py trace_photon_batch_sharded shards the
+  emission batch over the same mesh (build_photon_maps(mesh=...));
+  stored photons come back sharded on the photon axis and the host
+  concatenates them into the grid (no collective needed forward).
 
 All functions work identically on a virtual CPU mesh
 (xla_force_host_platform_device_count) — that is how multi-chip logic

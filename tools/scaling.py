@@ -1,0 +1,120 @@
+"""Weak/strong-scaling measurement over a virtual device mesh.
+
+Produces SCALING_rNN.json: rays/s (sharded render, strong scaling: the
+512^2 frame is split over the mesh) and photons/s (sharded emission,
+weak scaling: each device traces a constant batch) at 1/2/4/8 devices.
+
+HONESTY CAVEAT (recorded in the JSON): this box exposes 8 *virtual*
+CPU devices (xla_force_host_platform_device_count) backed by TWO
+physical cores, so wall-clock cannot show real >2x scaling — the
+numbers validate that the sharded paths compile, run, balance work
+evenly, and produce device-count-independent results. On a real TPU
+slice the same code paths shard over ICI.
+
+Run: JAX_PLATFORMS= python tools/scaling.py  (forces CPU internally)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main(out_path="SCALING_r02.json"):
+    from cse168_raytracer_tpu.config import RenderConfig
+    from cse168_raytracer_tpu.ops.accel import attach_accel
+    from cse168_raytracer_tpu.ops.photon import trace_photon_batch_sharded
+    from cse168_raytracer_tpu.parallel.sharding import (make_mesh,
+                                                        render_hdr_sharded)
+    from cse168_raytracer_tpu.scenes import build
+
+    cfg = RenderConfig(width=256, height=256, trace_depth=4)
+    scene, static, cam, cfg = build("teapot", cfg)
+    scene = attach_accel(scene, kind="bvh", leaf_size=8)
+
+    # photon scene: two planes + a directional area light
+    from cse168_raytracer_tpu.models.geometry import make_plane_pool
+    from cse168_raytracer_tpu.models.lights import LIGHT_DIRECTIONAL_AREA
+    from cse168_raytracer_tpu.models.materials import MaterialBuilder
+    from cse168_raytracer_tpu.models.scene import make_scene
+    mb = MaterialBuilder()
+    white = mb.phong(kd=(0.8, 0.8, 0.8))
+    planes = make_plane_pool([(0, 0, 0), (0, 4, 0)],
+                             [(0, 1, 0), (0, -1, 0)], [white, white])
+    pscene, pstatic = make_scene(planes=planes, materials=mb.build(),
+                                 lights=[dict(kind=LIGHT_DIRECTIONAL_AREA,
+                                              position=(0, 3, 0),
+                                              normal=(0, -1, 0), radius=1.0,
+                                              color=(1, 1, 1),
+                                              wattage=100.0)])
+
+    results = []
+    key = jax.random.key(0)
+    for n_dev in (1, 2, 4, 8):
+        mesh = make_mesh(n_dev)
+
+        # --- strong-scaling render ---
+        fn = jax.jit(lambda s, k: render_hdr_sharded(s, static, cam, cfg,
+                                                     k, mesh))
+        r = fn(scene, key)
+        jax.block_until_ready(r)
+        t0 = time.time()
+        reps = 3
+        for i in range(reps):
+            r = fn(scene, jax.random.fold_in(key, i))
+        jax.block_until_ready(r)
+        render_dt = (time.time() - t0) / reps
+        rays = cfg.width * cfg.height * 2          # primary + shadow
+
+        # --- weak-scaling photon emission (batch per device) ---
+        per_dev = 8192
+        pfn = jax.jit(lambda s, k: trace_photon_batch_sharded(
+            s, pstatic, 0, per_dev * n_dev, False, 3, False, k, mesh))
+        out = pfn(pscene, key)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for i in range(reps):
+            out = pfn(pscene, jax.random.fold_in(key, 100 + i))
+        jax.block_until_ready(out)
+        photon_dt = (time.time() - t0) / reps
+
+        results.append(dict(
+            n_devices=n_dev,
+            render_rays_per_sec=round(rays / render_dt, 1),
+            render_ms=round(render_dt * 1000, 2),
+            photons_per_sec=round(per_dev * n_dev / photon_dt, 1),
+            photon_batch=per_dev * n_dev,
+            photon_ms=round(photon_dt * 1000, 2),
+        ))
+        print(results[-1], file=sys.stderr)
+
+    base = results[0]
+    doc = dict(
+        platform="cpu-virtual-mesh",
+        physical_cores=os.cpu_count(),
+        caveat=("8 virtual devices share %d physical cores; wall-clock "
+                "efficiency is core-bound. Validates sharded compile/run/"
+                "balance, not silicon scaling." % os.cpu_count()),
+        results=results,
+        weak_scaling_photon_efficiency_8dev=round(
+            results[-1]["photons_per_sec"]
+            / (8 * base["photons_per_sec"]), 3),
+        strong_scaling_render_speedup_8dev=round(
+            base["render_ms"] / results[-1]["render_ms"], 3),
+    )
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc))
+
+
+if __name__ == "__main__":
+    main()
