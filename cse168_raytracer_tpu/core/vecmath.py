@@ -141,10 +141,15 @@ def fresnel_rs(d: jax.Array, n: jax.Array, ior: jax.Array) -> jax.Array:
     """
     n1, n2, n_or = _oriented_ior(d, n, ior)
     cos_t = jnp.clip(dot(-d, n_or), -1.0, 1.0)
-    sin_t = jnp.sin(jnp.arccos(cos_t))
-    pow_something = ((n1 / n2) * sin_t) ** 2
+    # sin^2 = 1 - cos^2 directly: the reference's sin(acos(x)) is the
+    # same value, but d(acos)/dx is infinite at |x|=1 (normal incidence)
+    # and would NaN every gradient through Fresnel
+    pow_something = (n1 / n2) ** 2 * (1.0 - cos_t ** 2)
     tir = pow_something > 1.0
-    sqrt_term = jnp.sqrt(jnp.clip(1.0 - pow_something, 0.0, None))
+    s2 = jnp.clip(1.0 - pow_something, 0.0, None)
+    # safe sqrt: zero-gradient at the critical-angle boundary instead of
+    # d(sqrt)/dx -> inf (forward value unchanged)
+    sqrt_term = jnp.where(s2 > 0, jnp.sqrt(jnp.where(s2 > 0, s2, 1.0)), 0.0)
     denom = n1 * cos_t + sqrt_term
     rs = ((n1 * cos_t - sqrt_term) / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)) ** 2
     return jnp.where(tir, 1.0, rs)
@@ -160,8 +165,11 @@ def refract(d: jax.Array, n: jax.Array, ior: jax.Array):
     d_dot_n = dot(d, n_or)
     energy = 1.0 - (n1 ** 2) * (1.0 - d_dot_n ** 2) / (n2 ** 2)
     tir = energy < 0.0
+    # safe sqrt (zero grad at the TIR boundary, forward unchanged)
+    e = jnp.clip(energy, 0.0, None)
+    root = jnp.where(e > 0, jnp.sqrt(jnp.where(e > 0, e, 1.0)), 0.0)
     refr = (n1[..., None] * (d - n_or * d_dot_n[..., None]) / n2[..., None]
-            - n_or * jnp.sqrt(jnp.clip(energy, 0.0, None))[..., None])
+            - n_or * root[..., None])
     refl = reflect(d, n)
     return jnp.where(tir[..., None], refl, refr), tir
 

@@ -98,8 +98,26 @@ def _tri_surface(pack: TrianglePack, o, d, tri_id):
 
 
 def _sphere_surface(pool: SpherePool, o, d, t, sph_id):
+    # `t` from the traversal is DETACHED (discrete winner); recompute it
+    # differentiably from the quadratic so d(P)/d(ray, center, radius)
+    # is exact (picking the root nearest the detached t keeps the same
+    # discrete solution).
     c = take_rows(pool.center, sph_id)
-    p = o + t[:, None] * d
+    r = take_rows(pool.radius, sph_id)
+    oc = o - c
+    a = jnp.sum(d * d, axis=-1)
+    b = 2.0 * jnp.sum(d * oc, axis=-1)
+    cc = jnp.sum(oc * oc, axis=-1) - r ** 2
+    disc = b * b - 4.0 * a * cc
+    root = jnp.where(disc > 0,
+                     jnp.sqrt(jnp.where(disc > 0, disc, 1.0)), 0.0)
+    t0 = (-b - root) / (2.0 * a)
+    t1 = (-b + root) / (2.0 * a)
+    t_re = jnp.where(jnp.abs(t0 - jax.lax.stop_gradient(t))
+                     <= jnp.abs(t1 - jax.lax.stop_gradient(t)), t0, t1)
+    # non-sphere / miss lanes (disc<=0 or garbage id): detached t
+    t_use = jnp.where(disc > 0, t_re, t)
+    p = o + t_use[:, None] * d
     n = p - c
     n_unit = safe_normalize(n)
     u = jnp.arctan2(n_unit[:, 0], n_unit[:, 2]) / (2.0 * PI) + 0.5
@@ -110,8 +128,14 @@ def _sphere_surface(pool: SpherePool, o, d, t, sph_id):
 
 
 def _plane_surface(pool: PlanePool, o, d, t, pl_id):
+    # recompute t differentiably (see _sphere_surface note)
     nrm = take_rows(pool.normal, pl_id)
-    p = o + t[:, None] * d
+    org = take_rows(pool.origin, pl_id)
+    ndotd = jnp.sum(nrm * d, axis=-1)
+    safe = jnp.where(jnp.abs(ndotd) < 1e-6, 1.0, ndotd)
+    t_re = jnp.sum(nrm * (org - o), axis=-1) / safe
+    t_use = jnp.where(jnp.abs(ndotd) >= 1e-6, t_re, t)
+    p = o + t_use[:, None] * d
     uv = jnp.stack([p[:, 0], p[:, 2]], axis=-1)   # Plane.cpp:50-60
     return p, nrm, nrm, uv, take_rows(pool.material_id, pl_id)
 
@@ -149,6 +173,15 @@ def _blpatch_surface(pool, o, d, t, bp_id):
     su = v[:, None] * a3 + b3
     sv = u[:, None] * a3 + c3
     n = jnp.cross(su, sv)
+    # differentiable hit position: project the ray onto the local
+    # tangent plane at S(u,v) (t from the traversal is detached; this
+    # restores d(P)/d(ray, corners) to first order)
+    s_uv = (u * v)[:, None] * a3 + u[:, None] * b3 + v[:, None] * c3 + p00
+    ndotd = jnp.sum(n * d, axis=-1)
+    safe = jnp.where(jnp.abs(ndotd) < 1e-12, 1.0, ndotd)
+    t_re = jnp.sum(n * (s_uv - o), axis=-1) / safe
+    t_use = jnp.where(jnp.abs(ndotd) >= 1e-12, t_re, t)
+    p = o + t_use[:, None] * d
     return (p, n, n, jnp.stack([u, v], axis=-1),
             take_rows(pool.material_id, bp_id))
 
@@ -162,10 +195,14 @@ def make_surface(tris: TrianglePack, spheres: SpherePool, planes: PlanePool,
     tri_id = jnp.where(hit.prim_type == PRIM_TRI, hit.prim_id, 0)
     sph_id = jnp.where(hit.prim_type == PRIM_SPHERE, hit.prim_id, 0)
     pl_id = jnp.where(hit.prim_type == PRIM_PLANE, hit.prim_id, 0)
+    # miss lanes carry t = _BIG (3e37): P = o + t*d then |P|^2 overflows
+    # f32 to inf, and inf forward residuals NaN every backward pass even
+    # though the lanes are masked later. Clamp t on misses.
+    t_safe = jnp.where(hit.hit, hit.t, 1.0)
 
     tp, tn, tgn, tuv, tm = _tri_surface(tris, o, d, tri_id)
-    sp, sn, sgn, suv, sm = _sphere_surface(spheres, o, d, hit.t, sph_id)
-    pp, pn, pgn, puv, pm = _plane_surface(planes, o, d, hit.t, pl_id)
+    sp, sn, sgn, suv, sm = _sphere_surface(spheres, o, d, t_safe, sph_id)
+    pp, pn, pgn, puv, pm = _plane_surface(planes, o, d, t_safe, pl_id)
 
     is_t = (hit.prim_type == PRIM_TRI)[:, None]
     is_s = (hit.prim_type == PRIM_SPHERE)[:, None]
@@ -179,12 +216,22 @@ def make_surface(tris: TrianglePack, spheres: SpherePool, planes: PlanePool,
 
     if blpatches is not None:
         bp_id = jnp.where(hit.prim_type == PRIM_BLPATCH, hit.prim_id, 0)
-        bp, bn, bgn, buv, bm = _blpatch_surface(blpatches, o, d, hit.t, bp_id)
+        bp, bn, bgn, buv, bm = _blpatch_surface(blpatches, o, d, t_safe, bp_id)
         is_b = (hit.prim_type == PRIM_BLPATCH)[:, None]
         p = jnp.where(is_b, bp, p)
         n = jnp.where(is_b, bn, n)
         gn = jnp.where(is_b, bgn, gn)
         uv = jnp.where(is_b, buv, uv)
         mat = jnp.where(hit.prim_type == PRIM_BLPATCH, bm, mat)
+    # miss lanes carry t = _BIG: P = o + t*d overflows and the garbage
+    # UV would NaN procedural noise (inf - inf) — forward NaNs there are
+    # masked out later, but their AD residuals poison every gradient.
+    # Pin missed lanes to benign values instead.
+    ok = hit.hit[:, None]
+    up = jnp.array([0.0, 1.0, 0.0], p.dtype)
+    p = jnp.where(ok, p, 0.0)
+    n = jnp.where(ok, n, up)
+    gn = jnp.where(ok, gn, up)
+    uv = jnp.where(ok, uv, 0.0)
     return Surface(p=p, n=n, geo_n=gn, uv=uv,
                    material_id=mat.astype(jnp.int32), hit=hit.hit)
