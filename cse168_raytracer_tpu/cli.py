@@ -40,6 +40,8 @@ def _cmd_render(args) -> int:
         disable_shadows=args.no_shadows,
         photons_per_light=args.photons,
         caustic_photons_per_light=args.caustic_photons,
+        light_samples=args.light_samples,
+        row_tile=args.row_tile,
         collect_stats=args.stats, seed=args.seed)
 
     t0 = time.time()
@@ -56,10 +58,16 @@ def _cmd_render(args) -> int:
     if cfg.photons_per_light > 0 and not args.no_photon_map:
         from cse168_raytracer_tpu.ops.photon import build_photon_maps
         t0 = time.time()
-        photons = build_photon_maps(scene, static, cfg,
-                                    jax.random.key(cfg.seed + 7))
+        photons, ph_stats = build_photon_maps(scene, static, cfg,
+                                              jax.random.key(cfg.seed + 7),
+                                              return_stats=True)
         scene = scene.replace(photons=photons)
         print(f"[photons] traced in {time.time() - t0:.2f}s", file=sys.stderr)
+        if args.stats:
+            for name, st in ph_stats.items():
+                print(f"[stats] photons {name}: emitted={st['emitted']} "
+                      f"stored={st['stored']} bounces={st['bounces']}",
+                      file=sys.stderr)
 
     key = jax.random.key(cfg.seed)
     if args.progressive:
@@ -88,20 +96,23 @@ def _cmd_render(args) -> int:
               f"secondary={int(stats.secondary_rays)} "
               f"shadow={int(stats.shadow_rays)} "
               f"dropped={int(stats.dropped_rays)}", file=sys.stderr)
-        from cse168_raytracer_tpu.ops.accel import BlockAccel
-        if isinstance(scene.accel, BlockAccel):
+        if scene.accel is not None:
             import jax.numpy as jnp
-            from cse168_raytracer_tpu.ops.stats import measure_traversal_stats
+            from cse168_raytracer_tpu.ops.stats import traversal_stats
             from cse168_raytracer_tpu.render.camera import eye_rays
             ys, xs = jnp.meshgrid(jnp.arange(cfg.height),
                                   jnp.arange(cfg.width), indexing="ij")
             o, d = eye_rays(cam, xs.ravel(), ys.ravel(), cfg.width,
                             cfg.height)
-            ts = jax.jit(measure_traversal_stats)(scene.accel, o, d)
-            print(f"[stats] primary-ray box-tests/ray="
-                  f"{float(ts.box_tests_per_ray):.2f} "
-                  f"tri-tests/ray={float(ts.tri_tests_per_ray):.2f} "
-                  f"(reference A2 table: writeup/A2/Readme.tex:95-102)",
+            ts = jax.jit(traversal_stats)(scene.accel, o, d)
+            # A2-style table (Stats.cpp:15-27, writeup/A2/Readme.tex:90-107)
+            print("[stats] ----- traversal (primary rays) -----",
+                  file=sys.stderr)
+            print(f"[stats] ray-box   tests/ray: "
+                  f"{float(ts.box_tests_per_ray):8.2f}", file=sys.stderr)
+            print(f"[stats] ray-tri   tests/ray: "
+                  f"{float(ts.tri_tests_per_ray):8.2f} "
+                  f"(reference A2: teapot 3.75, bunny 1.17, sponza 10.33)",
                   file=sys.stderr)
 
     img = to_bytes(tonemap(hdr, args.tonemap))
@@ -129,6 +140,12 @@ def main(argv=None) -> int:
     r.add_argument("--path-tracing", action="store_true",
                    help="-DPATH_TRACING mode")
     r.add_argument("--dof", action="store_true", help="-DDOF mode")
+    r.add_argument("--row-tile", type=int, default=0,
+                   help="rows per wavefront chunk (bounds memory for "
+                        "final-scene-size renders; 0 = whole frame)")
+    r.add_argument("--light-samples", type=int, default=1,
+                   help="NEE samples per light (SquareLight soft "
+                        "shadows; Phong.cpp:65-80)")
     r.add_argument("--no-shadows", action="store_true",
                    help="-DDISABLE_SHADOWS")
     r.add_argument("--accel", action="store_true", default=True,

@@ -34,6 +34,11 @@ class RenderConfig:
     trace_samples: int = 1000        # TRACE_SAMPLES, Miro.h:15 (spp in PT/DOF mode)
     path_tracing: bool = False       # -DPATH_TRACING
     disable_shadows: bool = False    # -DDISABLE_SHADOWS (Phong.cpp:91)
+    light_samples: int = 1           # NEE samples/light (Phong.cpp:65-75:
+                                     # the reference ships samples=1 with
+                                     # a commented-out 49 for SquareLight
+                                     # soft shadows; >1 enables the
+                                     # stratified grid, SquareLight.h:23-39)
 
     # Photon mapping
     photon_max_dist: float = 1e10    # PHOTON_MAX_DIST, Miro.h:16
@@ -52,6 +57,12 @@ class RenderConfig:
     # Wavefront sizing (TPU-specific; no reference equivalent)
     ray_block: int = 2048            # rays per device-side wavefront block
     whitted_pool_factor: int = 4     # max specular-split ray pool = N_pixels * factor
+    row_tile: int = 0                # rows per wavefront chunk (0 = whole
+                                     # frame). Bounds wavefront memory for
+                                     # final-scene-size renders (2048x1365
+                                     # @ 1000spp, writeup/A3/index.html:44);
+                                     # must be a multiple of 8 (the pixel-
+                                     # block ray order)
 
     # Numerics
     dtype: str = "float32"

@@ -75,21 +75,33 @@ def make_light_table(lights: list[dict]) -> LightTable:
                       dims=jnp.asarray(dim))
 
 
-def sample_origin(lt: LightTable, li: int, key: jax.Array, shape) -> jax.Array:
+def sample_origin(lt: LightTable, li: int, key: jax.Array, shape,
+                  sample_idx: int = 0, total_samples: int = 1) -> jax.Array:
     """samplePhotonOrigin for light index `li`, batched to `shape`.
 
-    Point: position (PointLight.h:48-51). Square: uniform on rectangle —
-    the reference's stratified grid with totalSamples=1 degenerates to
-    one uniform cell (SquareLight.h:23-39). DirectionalArea: uniform
-    disc of `radius` in the tangent frame (DirectionalAreaLight.h:19-23).
+    Point: position (PointLight.h:48-51). Square: jittered sample in
+    cell (sx, sy) of the sqrt(totalSamples)-sided stratification grid
+    (SquareLight.h:23-39); with totalSamples=1 — the value the shipped
+    reference uses, Phong.cpp:68-75 — this is one uniform sample over
+    the whole rectangle. DirectionalArea: uniform disc of `radius` in
+    the tangent frame (DirectionalAreaLight.h:19-23).
     """
     kind = lt.kind[li]
     pos = lt.position[li]
     nrm = lt.normal[li]
     t1, t2 = onb(nrm)
     k1, k2 = jax.random.split(key)
-    # square: u,v in [-w/2, w/2] x [-h/2, h/2]
-    uv = (jax.random.uniform(k1, tuple(shape) + (2,)) - 0.5) * lt.dims[li]
+    # square (SquareLight.h:26-37): n x n cells, n = sqrt(totalSamples)
+    # (the reference truncates side_length to int for the cell index but
+    # keeps the float for du/dv; totalSamples is always a square in
+    # practice — 1 or 49)
+    side = float(np.sqrt(float(total_samples)))
+    du_dv = lt.dims[li] / side
+    sx = sample_idx % int(side)
+    sy = sample_idx // int(side)
+    cell = jnp.asarray([sx, sy], jnp.float32)
+    uv = ((jax.random.uniform(k1, tuple(shape) + (2,)) + cell) * du_dv
+          - 0.5 * lt.dims[li])
     sq = pos + uv[..., 0:1] * t1 + uv[..., 1:2] * t2
     # disc
     dxy = uniform_disc(k2, lt.radius[li], shape)
@@ -123,13 +135,16 @@ class NEESample(NamedTuple):
 
 
 def nee_sample(lt: LightTable, li: int, p: jax.Array, n: jax.Array,
-               key: jax.Array) -> NEESample:
+               key: jax.Array, sample_idx: int = 0,
+               total_samples: int = 1) -> NEESample:
     """Reproduces the geometry part of the Phong::shade light loop.
 
     p: (N,3) shading points, n: (N,3) shading normals.
+    sample_idx/total_samples: stratification cell for SquareLight
+    multi-sample NEE (Phong.cpp:77-80).
     """
     shape = p.shape[:-1]
-    origin = sample_origin(lt, li, key, shape)
+    origin = sample_origin(lt, li, key, shape, sample_idx, total_samples)
     kind = lt.kind[li]
     nrm = lt.normal[li]
 

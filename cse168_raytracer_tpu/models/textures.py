@@ -376,11 +376,84 @@ def build_image_texture(pixels: np.ndarray, is_hdr: bool) -> ImageTexture:
                         max_intensity=jnp.float32(max_intensity))
 
 
+def read_radiance_hdr(path: str) -> np.ndarray:
+    """Minimal Radiance RGBE (.hdr) decoder -> (H, W, 3) float32,
+    top-down row order.
+
+    The reference reads .hdr through FreeImage (Texture.cpp:30-50,
+    FIF_HDR); imageio's HDR plugin needs a FreeImage binary download,
+    so decode the format natively: flat scanlines and new-style RLE
+    (0x02 0x02 marker), float = mantissa/256 * 2^(e-128)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # header ends at the first blank line; next line is the resolution
+    pos = data.index(b"\n\n") + 2
+    eol = data.index(b"\n", pos)
+    res = data[pos:eol].split()
+    if res[0] != b"-Y" or res[2] != b"+X":
+        raise ValueError(f"unsupported HDR orientation {res!r}")
+    h, w = int(res[1]), int(res[3])
+    pos = eol + 1
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    buf = np.frombuffer(data, np.uint8)
+    for y in range(h):
+        if (w >= 8 and w < 32768 and pos + 4 <= len(data)
+                and data[pos] == 2 and data[pos + 1] == 2
+                and (data[pos + 2] << 8 | data[pos + 3]) == w):
+            pos += 4                    # new-style RLE, per-channel runs
+            for c in range(4):
+                x = 0
+                while x < w:
+                    cnt = data[pos]
+                    if cnt > 128:       # run of the same byte
+                        rgbe[y, x:x + cnt - 128, c] = data[pos + 1]
+                        x += cnt - 128
+                        pos += 2
+                    else:               # literal bytes
+                        rgbe[y, x:x + cnt, c] = buf[pos + 1:pos + 1 + cnt]
+                        x += cnt
+                        pos += 1 + cnt
+        else:                           # flat scanline
+            row = buf[pos:pos + 4 * w].reshape(w, 4)
+            rgbe[y] = row
+            pos += 4 * w
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e == 0, 0.0,
+                     np.ldexp(1.0, e - 136))     # 2^(e-128) / 256
+    return (rgbe[..., :3].astype(np.float32) * scale[..., None]).astype(
+        np.float32)
+
+
+def write_radiance_hdr(path: str, img: np.ndarray) -> None:
+    """Write (H, W, 3) float32 as a flat (non-RLE) Radiance .hdr
+    (Image I/O parity helper; the reference only reads HDR)."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+    m = img.max(axis=-1)
+    nz = m > 1e-32
+    # frexp: m = f * 2^e with f in [0.5, 1) -> mantissa of the max
+    # channel lands in [128, 256) (full 8-bit precision)
+    _, e = np.frexp(np.where(nz, m, 1.0))
+    scale = np.ldexp(1.0, -e + 8)       # mantissa = v * 2^(8-e)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.minimum(
+        np.round(img * scale[..., None]), 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, e + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
 def load_image_texture(path: str) -> ImageTexture:
     """Load a PNG/JPG (LDR) or Radiance .hdr (float) file."""
-    import imageio.v3 as iio
-    arr = np.asarray(iio.imread(path))
-    is_hdr = arr.dtype in (np.float32, np.float64, np.float16)
+    if path.lower().endswith((".hdr", ".rgbe")):
+        arr = read_radiance_hdr(path)
+        is_hdr = True
+    else:
+        import imageio.v3 as iio
+        arr = np.asarray(iio.imread(path))
+        is_hdr = arr.dtype in (np.float32, np.float64, np.float16)
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
     arr = arr[..., :3].astype(np.float32)

@@ -139,15 +139,22 @@ def build_pallas_bvh(pack: TrianglePack) -> PallasBVH:
 
 
 def _traverse_kernel(r8_ref, rmat_ref, cbox_ref, leafW_ref,
-                     out_t_ref, out_id_ref, stack_i, stack_t,
-                     *, any_hit: bool):
+                     out_t_ref, out_id_ref, *rest,
+                     any_hit: bool, with_stats: bool):
     """One program = GSUB sub-tiles of 128 rays, each walked with a
     private SMEM stack (Mosaic requires >= 8 sublanes per output block,
     so tiles are grouped 8 per grid step)."""
+    if with_stats:
+        out_nv_ref, out_lv_ref, stack_i, stack_t = rest
+        stats_refs = (out_nv_ref, out_lv_ref)
+    else:
+        stack_i, stack_t = rest
+        stats_refs = None
+
     def sub_tile(t_idx, _):
         _traverse_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                       out_t_ref, out_id_ref, stack_i, stack_t,
-                      t_idx, any_hit=any_hit)
+                      t_idx, any_hit=any_hit, stats_refs=stats_refs)
         return 0
 
     jax.lax.fori_loop(0, GSUB, sub_tile, 0)
@@ -155,7 +162,7 @@ def _traverse_kernel(r8_ref, rmat_ref, cbox_ref, leafW_ref,
 
 def _traverse_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                   out_t_ref, out_id_ref, stack_i, stack_t, t_idx,
-                  *, any_hit: bool):
+                  *, any_hit: bool, stats_refs=None):
     rc = r8_ref[0, t_idx]                # (T, 8) natural ray layout
     r8 = jnp.transpose(rc)               # (8, T): one small in-VMEM
     rmat = rmat_ref[0, t_idx]            # relayout beats host-side
@@ -170,6 +177,12 @@ def _traverse_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
 
     out_t_ref[0, t_idx, :] = jnp.full((T,), _BIGF, jnp.float32)
     out_id_ref[0, t_idx, :] = jnp.zeros((T,), jnp.int32)
+    if stats_refs is not None:
+        # -DSTATS counters (Stats.h, BVH.cpp:63-65,486-497): every ray
+        # in a tile pays every test its tile executes, so the per-ray
+        # count is the per-tile visit count (broadcast across lanes)
+        stats_refs[0][0, t_idx, :] = jnp.zeros((T,), jnp.int32)
+        stats_refs[1][0, t_idx, :] = jnp.zeros((T,), jnp.int32)
     stack_i[0] = 0
     stack_t[0] = 0.0
     sp0 = jnp.where(jnp.any(tmax_r >= tmin_r), 1, 0)
@@ -188,6 +201,8 @@ def _traverse_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
         live = ten <= jnp.max(curmax)
 
         def do_internal(sp):
+            if stats_refs is not None:
+                stats_refs[0][0, t_idx, :] = stats_refs[0][0, t_idx, :] + 1
             cb = cbox_ref[node, :].reshape(16, 1)          # column
             cl = cbox_ref[node, 12].astype(jnp.int32)      # child links
             cr = cbox_ref[node, 13].astype(jnp.int32)
@@ -230,6 +245,8 @@ def _traverse_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             return sp
 
         def do_leaf(sp):
+            if stats_refs is not None:
+                stats_refs[1][0, t_idx, :] = stats_refs[1][0, t_idx, :] + 1
             leaf = -node - 1                               # link = ~leaf
             w = leafW_ref[leaf]                            # (16, 128)
             nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
@@ -279,12 +296,168 @@ def _traverse_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
     jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
 
 
+def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
+                          out_t_ref, out_id_ref, *rest,
+                          any_hit: bool, with_stats: bool):
+    """Wide-tile variant: ONE traversal walk for all GSUB*T rays of the
+    grid program (one shared stack), instead of GSUB independent
+    128-ray walks.
+
+    Why: the per-node-visit overhead dominates (measured ~600 ns/visit
+    on bunny1 — scalar stack ops, lax.cond branches, loop bookkeeping —
+    vs ~100 ns of actual VPU slab math). A 1024-ray frontier visits the
+    UNION of the 8 subtiles' node sets (~2x one subtile's count for
+    coherent rays, not 8x), so iteration count per program drops ~4x
+    while the per-visit vector work grows to (12, 1024) — still cheap.
+    Extra per-ray box/tri tests are counted by the stats kernel and are
+    the price of tile width, paid on the MXU/VPU where flops are free.
+    """
+    if with_stats:
+        out_nv_ref, out_lv_ref, stack_i, stack_t = rest
+        stats_refs = (out_nv_ref, out_lv_ref)
+    else:
+        stack_i, stack_t = rest
+        stats_refs = None
+
+    W = GSUB * T
+    rc = r8_ref[0]                       # (W, 8) wide host layout
+    r8 = jnp.transpose(rc)               # (8, W)
+    rmat = rmat_ref[0]                   # (W, 16)
+    o3 = r8[0:3, :]
+    rcp3 = r8[3:6, :]
+    tmin_r = r8[6:7, :]
+    tmax_r = r8[7:8, :]
+    ob12 = jnp.concatenate([o3, o3, o3, o3], axis=0)       # (12, W)
+    rcp12 = jnp.concatenate([rcp3, rcp3, rcp3, rcp3], axis=0)
+    tmin_c = rmat[:, 10:11]
+    tmax_c = rmat[:, 11:12]
+
+    out_t_ref[0, :] = jnp.full((W,), _BIGF, jnp.float32)
+    out_id_ref[0, :] = jnp.zeros((W,), jnp.int32)
+    if stats_refs is not None:
+        stats_refs[0][0, :] = jnp.zeros((W,), jnp.int32)
+        stats_refs[1][0, :] = jnp.zeros((W,), jnp.int32)
+    stack_i[0] = 0
+    stack_t[0] = 0.0
+    sp0 = jnp.where(jnp.any(tmax_r >= tmin_r), 1, 0)
+
+    def body(sp):
+        sp = sp - 1
+        node = stack_i[sp]
+        ten = stack_t[sp]
+        best = out_t_ref[0, :].reshape(1, W)
+        if any_hit:
+            curmax = jnp.where(best < _BIGF, -1.0, tmax_r)
+        else:
+            curmax = jnp.minimum(tmax_r, best)
+        live = ten <= jnp.max(curmax)
+
+        def do_internal(sp):
+            if stats_refs is not None:
+                stats_refs[0][0, :] = stats_refs[0][0, :] + 1
+            cb = cbox_ref[node, :].reshape(16, 1)
+            cl = cbox_ref[node, 12].astype(jnp.int32)
+            cr = cbox_ref[node, 13].astype(jnp.int32)
+            cb12 = jnp.broadcast_to(cb[0:12], (12, W))
+            t_all = (cb12 - ob12) * rcp12
+            lo_t = jnp.where(jnp.isnan(t_all), -jnp.inf, t_all)
+            hi_t = jnp.where(jnp.isnan(t_all), jnp.inf, t_all)
+            tnL = jnp.minimum(lo_t[0:3], lo_t[3:6])
+            tfL = jnp.maximum(hi_t[0:3], hi_t[3:6])
+            tnR = jnp.minimum(lo_t[6:9], lo_t[9:12])
+            tfR = jnp.maximum(hi_t[6:9], hi_t[9:12])
+            entL = jnp.maximum(jnp.max(tnL, axis=0, keepdims=True), tmin_r)
+            extL = jnp.minimum(jnp.min(tfL, axis=0, keepdims=True), curmax)
+            entR = jnp.maximum(jnp.max(tnR, axis=0, keepdims=True), tmin_r)
+            extR = jnp.minimum(jnp.min(tfR, axis=0, keepdims=True), curmax)
+            okL = entL <= extL
+            okR = entR <= extR
+            hL = jnp.any(okL)
+            hR = jnp.any(okR)
+            tL = jnp.min(jnp.where(okL, entL, jnp.inf))
+            tR = jnp.min(jnp.where(okR, entR, jnp.inf))
+            l_near = tL <= tR
+            near_i = jnp.where(l_near, cl, cr)
+            far_i = jnp.where(l_near, cr, cl)
+            near_t = jnp.where(l_near, tL, tR)
+            far_t = jnp.where(l_near, tR, tL)
+            near_h = jnp.where(l_near, hL, hR)
+            far_h = jnp.where(l_near, hR, hL)
+
+            def push(sp, idx, tv, h):
+                def yes(sp):
+                    stack_i[sp] = idx
+                    stack_t[sp] = tv
+                    return sp + 1
+                return jax.lax.cond(h, yes, lambda s: s, sp)
+
+            sp = push(sp, far_i, far_t, far_h)
+            sp = push(sp, near_i, near_t, near_h)
+            return sp
+
+        def do_leaf(sp):
+            if stats_refs is not None:
+                stats_refs[1][0, :] = stats_refs[1][0, :] + 1
+            leaf = -node - 1
+            w = leafW_ref[leaf]                            # (16, 128)
+            nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # (W, 128)
+            b_n = nums[:, 0:K]
+            g_n = nums[:, K:2 * K]
+            den = nums[:, 2 * K:3 * K]
+            t_n = nums[:, 3 * K:4 * K]
+            safe = jnp.where(jnp.abs(den) < _DEN_TINY, 1.0, den)
+            inv = 1.0 / safe
+            beta = b_n * inv
+            gamma = g_n * inv
+            tt = t_n * inv
+            if any_hit:
+                curmax_c = jnp.where(
+                    out_t_ref[0, :].reshape(W, 1) < _BIGF, -1.0, tmax_c)
+            else:
+                curmax_c = jnp.minimum(tmax_c,
+                                       out_t_ref[0, :].reshape(W, 1))
+            ok = ((beta >= -EPSILON) & (gamma >= -EPSILON)
+                  & (beta + gamma <= 1.0 + EPSILON)
+                  & (tt >= tmin_c) & (tt <= curmax_c)
+                  & (jnp.abs(den) >= _DEN_TINY))
+            tm = jnp.where(ok, tt, _BIGF)
+            lt = jnp.min(tm, axis=1).reshape(1, W)
+            lj = jnp.argmin(tm, axis=1).astype(jnp.int32).reshape(1, W)
+            best_r = out_t_ref[0, :].reshape(1, W)
+            better = lt < best_r
+            out_t_ref[0, :] = jnp.where(better, lt, best_r)[0]
+            old_id = out_id_ref[0, :].reshape(1, W)
+            out_id_ref[0, :] = jnp.where(better, leaf * K + lj, old_id)[0]
+            if any_hit:
+                occ_or_dead = ((out_t_ref[0, :].reshape(1, W) < _BIGF)
+                               | (tmax_r < tmin_r))
+                sp = jnp.where(jnp.all(occ_or_dead), 0, sp)
+            return sp
+
+        def visit(sp):
+            return jax.lax.cond(node >= 0, do_internal, do_leaf, sp)
+
+        return jax.lax.cond(live, visit, lambda s: s, sp)
+
+    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
+
+
 def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
                                      d: jax.Array, tmin, tmax,
                                      any_hit: bool = False,
-                                     interpret: bool | None = None) -> Hit:
+                                     interpret: bool | None = None,
+                                     with_stats: bool = False,
+                                     wide: bool = True):  # noqa: E501 — default flipped after TPU A/B below
     """Closest hit (or first-hit occlusion) of N rays against the
-    VMEM-resident BVH. prim_id indexes the Morton-ordered pack."""
+    VMEM-resident BVH. prim_id indexes the Morton-ordered pack.
+
+    with_stats=True additionally returns the -DSTATS traversal counters
+    measured INSIDE the actual traversal (not a separate approximating
+    pass): (Hit, box_tests (N,), tri_tests (N,)) per-ray i32 counts,
+    with the reference's accounting (2 child slab tests per internal
+    visit, BVH.cpp:513-584; K triangle tests per leaf visit,
+    BVH.cpp:478-510)."""
     accel, o, d, tmin, tmax = jax.lax.stop_gradient(
         (accel, o, d, tmin, tmax))
     if interpret is None:
@@ -320,31 +493,52 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
         [d_p, m_p, o_p, ones, tmin_p[:, None], tmax_p[:, None], zeros],
         axis=1).reshape(ng, GSUB, T, 16)
 
-    kern = functools.partial(_traverse_kernel, any_hit=any_hit)
+    kern = functools.partial(
+        _traverse_kernel_wide if wide else _traverse_kernel,
+        any_hit=any_hit, with_stats=with_stats)
     s = accel.stack_depth
-    best_t, best_id = pl.pallas_call(
-        kern,
-        grid=(ng,),
-        in_specs=[
+    WT = GSUB * T
+    if wide:
+        # wide layouts: one (WT, 8)/(WT, 16) ray block and flat (WT,)
+        # outputs per program — no in-kernel reshapes (a (GSUB,T,8) ->
+        # (WT,8) reshape inside the kernel hung the Mosaic compiler)
+        r8 = r8.reshape(ng, WT, 8)
+        rmat = rmat.reshape(ng, WT, 16)
+        ray_specs = [
+            pl.BlockSpec((1, WT, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WT, 16), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        rt_spec = pl.BlockSpec((1, WT), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+        rt_shape = (ng, WT)
+    else:
+        ray_specs = [
             pl.BlockSpec((1, GSUB, T, 8), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, GSUB, T, 16), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+        ]
+        rt_spec = pl.BlockSpec((1, GSUB, T), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        rt_shape = (ng, GSUB, T)
+    n_out = 4 if with_stats else 2
+    outs = pl.pallas_call(
+        kern,
+        grid=(ng,),
+        in_specs=ray_specs + [
             pl.BlockSpec(accel.cbox.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(accel.leafW.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, GSUB, T), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GSUB, T), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[rt_spec] * n_out,
         out_shape=[
-            jax.ShapeDtypeStruct((ng, GSUB, T), jnp.float32),
-            jax.ShapeDtypeStruct((ng, GSUB, T), jnp.int32),
-        ],
+            jax.ShapeDtypeStruct(rt_shape, jnp.float32),
+            jax.ShapeDtypeStruct(rt_shape, jnp.int32),
+        ] + ([jax.ShapeDtypeStruct(rt_shape, jnp.int32)] * 2
+             if with_stats else []),
         scratch_shapes=[
             pltpu.SMEM((s,), jnp.int32),
             pltpu.SMEM((s,), jnp.float32),
@@ -353,12 +547,19 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(r8, rmat, accel.cbox, accel.leafW)
+    best_t, best_id = outs[0], outs[1]
 
     best_t = best_t.reshape(n_pad)[:n]
     best_id = best_id.reshape(n_pad)[:n]
     hit = best_t < _BIG
-    return Hit(t=best_t, prim_type=jnp.where(hit, PRIM_TRI, PRIM_NONE),
-               prim_id=best_id, hit=hit)
+    h = Hit(t=best_t, prim_type=jnp.where(hit, PRIM_TRI, PRIM_NONE),
+            prim_id=best_id, hit=hit)
+    if with_stats:
+        # internal visits test 2 child boxes; leaf visits test K tris
+        box_tests = 2 * outs[2].reshape(n_pad)[:n]
+        tri_tests = K * outs[3].reshape(n_pad)[:n]
+        return h, box_tests, tri_tests
+    return h
 
 
 def pallas_bvh_closest_hit(accel: PallasBVH, tris, spheres, planes, o, d,

@@ -193,6 +193,8 @@ class _StoredBatch(NamedTuple):
     dir: jax.Array     # (L, N, 3)
     power: jax.Array   # (L, N, 3)
     mask: jax.Array    # (L, N) bool
+    bounces: jax.Array  # (L,) i32 photons alive+hitting at each level
+    #                     (the -DSTATS photon-bounce counter, Stats.h)
 
 
 def trace_photon_batch(scene: Scene, static: SceneStatic, light_i: int,
@@ -242,7 +244,8 @@ def trace_photon_batch(scene: Scene, static: SceneStatic, light_i: int,
 
         # --- store (diffuse, indirect only) ---
         store = take_diff & (depth_after > 1)
-        levels.append((surf.p, dirs, power, store))
+        levels.append((surf.p, dirs, power, store,
+                       jnp.sum(live.astype(jnp.int32))))
 
         # --- first-bounce gates (Scene.cpp:596-628) ---
         if depth_after == 1:
@@ -283,7 +286,8 @@ def trace_photon_batch(scene: Scene, static: SceneStatic, light_i: int,
         pos=jnp.stack([l[0] for l in levels]),
         dir=jnp.stack([l[1] for l in levels]),
         power=jnp.stack([l[2] for l in levels]),
-        mask=jnp.stack([l[3] for l in levels]))
+        mask=jnp.stack([l[3] for l in levels]),
+        bounces=jnp.stack([l[4] for l in levels]))
 
 
 def trace_photon_batch_sharded(scene: Scene, static: SceneStatic,
@@ -304,14 +308,17 @@ def trace_photon_batch_sharded(scene: Scene, static: SceneStatic,
 
     def emit(scene, key):
         ti = jax.lax.axis_index(axis)
-        return trace_photon_batch(scene, static, light_i, per, caustic,
-                                  depth_limit, path_tracing,
-                                  jax.random.fold_in(key, ti))
+        out = trace_photon_batch(scene, static, light_i, per, caustic,
+                                 depth_limit, path_tracing,
+                                 jax.random.fold_in(key, ti))
+        # bounce counters all-reduce across the mesh (replicated out)
+        return out._replace(bounces=jax.lax.psum(out.bounces, axis))
 
     out_specs = _StoredBatch(pos=P(None, axis, None),
                              dir=P(None, axis, None),
                              power=P(None, axis, None),
-                             mask=P(None, axis))
+                             mask=P(None, axis),
+                             bounces=P())
     fn = shard_map(emit, mesh=mesh, in_specs=(P(), P()),
                    out_specs=out_specs, check_vma=False)
     return fn(scene, key)
@@ -347,21 +354,25 @@ def _auto_radius(pos: np.ndarray, k_target: int, max_per_cell: int) -> float:
 def build_photon_maps(scene: Scene, static: SceneStatic, cfg: RenderConfig,
                       key: jax.Array,
                       path_tracing: Optional[bool] = None,
-                      mesh=None) -> Optional[PhotonMaps]:
+                      mesh=None, return_stats: bool = False):
     """Scene::tracePhotons + traceCausticPhotons: emit batches until the
     stored-photon target is reached, scale powers by 1/total_emitted
     (Scene.cpp:402), build the hashed grids.
 
     With `mesh`, emission batches are sharded across the devices
     (trace_photon_batch_sharded) — the reference's second parallel
-    dimension (OpenMP photon batches, Scene.cpp:372-394)."""
+    dimension (OpenMP photon batches, Scene.cpp:372-394).
+
+    return_stats=True returns (PhotonMaps, stats_dict) where stats_dict
+    holds the -DSTATS photon counters (Stats.h): emitted / stored /
+    bounces per map."""
     if path_tracing is None:
         path_tracing = cfg.path_tracing
     kinds = np.asarray(scene.lights.kind)
     emitters = [i for i in range(kinds.shape[0])
                 if kinds[i] == LIGHT_DIRECTIONAL_AREA]
     if not emitters:
-        return None
+        return (None, {}) if return_stats else None
 
     # Scene.cpp:375 uses OMP batches of 10000; on TPU bigger wavefronts
     # amortize dispatch/launch overhead
@@ -369,8 +380,11 @@ def build_photon_maps(scene: Scene, static: SceneStatic, cfg: RenderConfig,
     if mesh is not None:
         batch = -(-batch // mesh.size) * mesh.size
     maps = {}
+    stats = {}
     for caustic, target in ((False, cfg.photons_per_light),
                             (True, cfg.caustic_photons_per_light)):
+        name = "caustic" if caustic else "global"
+        stats[name] = dict(emitted=0, stored=0, bounces=0)
         if target <= 0:
             maps[caustic] = None
             continue
@@ -403,8 +417,11 @@ def build_photon_maps(scene: Scene, static: SceneStatic, cfg: RenderConfig,
                 all_pow.append(np.asarray(out.power).reshape(-1, 3)[m])
                 li_stored += int(m.sum())
                 total_emitted += batch
+                stats[name]["bounces"] += int(np.asarray(out.bounces).sum())
                 it += 1
             stored += li_stored
+        stats[name]["emitted"] = total_emitted
+        stats[name]["stored"] = stored
         if stored == 0:
             maps[caustic] = None
             continue
@@ -416,4 +433,5 @@ def build_photon_maps(scene: Scene, static: SceneStatic, cfg: RenderConfig,
                               cfg.photon_grid_max_per_cell)
         maps[caustic] = build_grid(pos, pows, dirs, radius,
                                    cfg.photon_grid_max_per_cell)
-    return PhotonMaps(global_map=maps[False], caustic_map=maps[True])
+    pm = PhotonMaps(global_map=maps[False], caustic_map=maps[True])
+    return (pm, stats) if return_stats else pm

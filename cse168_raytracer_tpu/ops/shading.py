@@ -94,12 +94,18 @@ def apply_bump(scene: Scene, static: SceneStatic, surf: Surface):
 
 def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
                  surf: Surface, key: jax.Array,
-                 disable_shadows: bool = False):
+                 disable_shadows: bool = False,
+                 light_samples: int = 1):
     """Phong::shade over a wavefront. ray_d: (N,3) incoming directions.
 
     Returns (N,3) direct radiance (zero where surf.hit is False), plus
     the texture diffuse color (reused by callers for photon RR) and an
     optional shadow-ray count for stats.
+
+    light_samples > 1 runs the reference's per-light multi-sample loop
+    (Phong.cpp:77-80, contribution scaled 1/samples Phong.cpp:145,153)
+    with SquareLight origins stratified over the sample grid
+    (SquareLight.h:23-39).
     """
     mats = scene.materials
     mid = surf.material_id
@@ -113,9 +119,11 @@ def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
 
     total = jnp.zeros_like(surf.p)
     n_shadow = 0
-    for li in range(static.num_lights):
-        lk = jax.random.fold_in(key, li)
-        s = nee_sample(scene.lights, li, surf.p, n, lk)
+    for li, si in [(li, si) for li in range(static.num_lights)
+                   for si in range(light_samples)]:
+        lk = jax.random.fold_in(jax.random.fold_in(key, li), si)
+        s = nee_sample(scene.lights, li, surf.p, n, lk,
+                       sample_idx=si, total_samples=light_samples)
 
         # shadow ray (Phong.cpp:91-114): origin P + l*eps, tMax = dist.
         # -DDISABLE_SHADOWS (Phong.cpp:91) skips the trace entirely.
@@ -164,7 +172,8 @@ def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
                     occluded = occluded & ~pass_through
         visible = ~occluded & s.in_beam
 
-        w = scene.lights.wattage[li]
+        # wattage / samples (Phong.cpp:145,153)
+        w = scene.lights.wattage[li] / light_samples
         lcol = scene.lights.color[li]
         diff_term = jnp.maximum(0.0, s.n_dot_l * s.falloff * w)
         contrib = (lcol * diff_term[..., None] * tex_color * kd

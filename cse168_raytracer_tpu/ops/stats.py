@@ -66,3 +66,24 @@ def measure_traversal_stats(accel: BlockAccel, o: jax.Array, d: jax.Array,
                                  jnp.arange(ng, dtype=jnp.int32))
     return TraversalStats(box_tests_per_ray=box / n,
                           tri_tests_per_ray=tri / n, rays=n)
+
+
+def traversal_stats(accel, o: jax.Array, d: jax.Array,
+                    tmin=0.0, tmax=MIRO_TMAX) -> TraversalStats:
+    """Per-ray box/tri test counts for any attached accelerator.
+
+    For the Pallas BVH the counts come from counters carried INSIDE the
+    actual traversal kernel (exact, the reference's -DSTATS accounting);
+    for the block accel they come from the approximating separate pass
+    above."""
+    from cse168_raytracer_tpu.ops.pallas_bvh import (
+        PallasBVH, pallas_bvh_closest_hit_triangles)
+    if isinstance(accel, PallasBVH):
+        _, box, tri = pallas_bvh_closest_hit_triangles(
+            accel, o, d, tmin, tmax, with_stats=True)
+        n = o.shape[0]
+        return TraversalStats(
+            box_tests_per_ray=jnp.sum(box.astype(jnp.float32)) / n,
+            tri_tests_per_ray=jnp.sum(tri.astype(jnp.float32)) / n,
+            rays=n)
+    return measure_traversal_stats(accel, o, d, tmin, tmax)

@@ -110,7 +110,8 @@ def integrate(scene: Scene, static: SceneStatic, o: jax.Array, d: jax.Array,
               depth: int, path_tracing: bool,
               capacity: Optional[int] = None,
               collect_stats: bool = False,
-              disable_shadows: bool = False):
+              disable_shadows: bool = False,
+              light_samples: int = 1):
     """Trace a primary wavefront to completion.
 
     o, d: (N, 3) primary rays; pixel: (N,) pixel ids in [0, n_pixels).
@@ -143,7 +144,8 @@ def integrate(scene: Scene, static: SceneStatic, o: jax.Array, d: jax.Array,
         k_shade, k_lobe1, k_lobe2 = jax.random.split(level_key, 3)
 
         direct, _tex, n_sh = shade_direct(scene, static, wf.d, surf, k_shade,
-                                          disable_shadows=disable_shadows)
+                                          disable_shadows=disable_shadows,
+                                          light_samples=light_samples)
         contrib = direct
 
         if scene.photons is not None:
@@ -258,28 +260,79 @@ def render_hdr(scene: Scene, static: SceneStatic, cam: Camera,
     ys = jnp.asarray(ys_n[order])
     pixel = (ys * w + xs).astype(jnp.int32)
 
+    # row-tiled chunking (cfg.row_tile > 0): the 2.8M-lane final-scene
+    # wavefront (2048x1365) would not fit; the block ray order makes
+    # contiguous ray ranges row bands, so chunking is a reshape. The
+    # radiance buffer stays full-frame (scatter-add per chunk).
+    def _chunked(fn_one_chunk, chunk_key):
+        rows = cfg.row_tile
+        assert rows % 8 == 0, "row_tile must be a multiple of 8"
+        cpx = w * rows
+        n_chunks = -(-n_pix // cpx)
+        assert n_chunks * cpx == n_pix, (
+            f"height {h} not divisible by row_tile {rows}")
+        xs_c = xs.reshape(n_chunks, cpx)
+        ys_c = ys.reshape(n_chunks, cpx)
+        px_c = pixel.reshape(n_chunks, cpx)
+
+        def body(carry, chunk):
+            rad, sec, shad, drop = carry
+            cxs, cys, cpix, ck = chunk
+            r, st = fn_one_chunk(cxs, cys, cpix, ck)
+            return (rad + r, sec + st.secondary_rays,
+                    shad + st.shadow_rays, drop + st.dropped_rays), None
+
+        keys = jax.random.split(chunk_key, n_chunks)
+        zero = jnp.int32(0)
+        (rad, sec, shad, drop), _ = jax.lax.scan(
+            body, (jnp.zeros((n_pix, 3), jnp.float32), zero, zero, zero),
+            (xs_c, ys_c, px_c, keys))
+        return rad, RenderStats(primary_rays=jnp.int32(n_pix),
+                                secondary_rays=sec, shadow_rays=shad,
+                                dropped_rays=drop)
+
     sampled = cfg.path_tracing or cfg.dof
     if not sampled:
+        if cfg.row_tile > 0:
+            def one_chunk(cxs, cys, cpix, ck):
+                o, d = eye_rays(cam, cxs, cys, w, h, key=None)
+                return integrate(scene, static, o, d, cpix, n_pix, ck,
+                                 cfg.trace_depth, path_tracing=False,
+                                 collect_stats=cfg.collect_stats,
+                                 disable_shadows=cfg.disable_shadows,
+                                 light_samples=cfg.light_samples)
+            radiance, stats = _chunked(one_chunk, key)
+            return radiance.reshape(h, w, 3), stats
         o, d = eye_rays(cam, xs, ys, w, h, key=None)
         radiance, stats = integrate(
             scene, static, o, d, pixel, n_pix, key,
             cfg.trace_depth, path_tracing=False,
             collect_stats=cfg.collect_stats,
-            disable_shadows=cfg.disable_shadows)
+            disable_shadows=cfg.disable_shadows,
+            light_samples=cfg.light_samples)
         return radiance.reshape(h, w, 3), stats
 
     spp = cfg.trace_samples
 
     def sample_body(carry, skey):
         acc, sec, shad, drop = carry
-        k_cam, k_int = jax.random.split(skey)
-        o, d = eye_rays(cam, xs, ys, w, h, key=k_cam,
-                        dof_aperture=cfg.dof_aperture if cfg.dof else 0.0,
-                        dof_focus=cfg.dof_focus_plane)
-        r, st = integrate(scene, static, o, d, pixel, n_pix, k_int,
-                          cfg.trace_depth, path_tracing=cfg.path_tracing,
-                          collect_stats=cfg.collect_stats,
-                          disable_shadows=cfg.disable_shadows)
+
+        def one_chunk(cxs, cys, cpix, ck):
+            k_cam, k_int = jax.random.split(ck)
+            o, d = eye_rays(cam, cxs, cys, w, h, key=k_cam,
+                            dof_aperture=cfg.dof_aperture if cfg.dof else 0.0,
+                            dof_focus=cfg.dof_focus_plane)
+            return integrate(scene, static, o, d, cpix, n_pix, k_int,
+                             cfg.trace_depth,
+                             path_tracing=cfg.path_tracing,
+                             collect_stats=cfg.collect_stats,
+                             disable_shadows=cfg.disable_shadows,
+                             light_samples=cfg.light_samples)
+
+        if cfg.row_tile > 0:
+            r, st = _chunked(one_chunk, skey)
+        else:
+            r, st = one_chunk(xs, ys, pixel, skey)
         return (acc + r, sec + st.secondary_rays, shad + st.shadow_rays,
                 drop + st.dropped_rays), None
 

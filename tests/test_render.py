@@ -115,3 +115,24 @@ def test_gradients_flow_to_materials():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0
+
+
+def test_row_tiled_render_matches_untiled():
+    """cfg.row_tile chunks the wavefront into row bands (bounded memory
+    for the 2048x1365 final-scene config); the Whitted render is
+    deterministic, so the tiled image must match the untiled one."""
+    import numpy as np
+    from cse168_raytracer_tpu.config import RenderConfig
+    from cse168_raytracer_tpu.render.integrator import render_hdr
+    from cse168_raytracer_tpu.scenes import build
+
+    cfg = RenderConfig(width=32, height=32, trace_depth=3)
+    scene, static, cam, cfg = build("teapot", cfg)
+    key = jax.random.key(0)
+    render = jax.jit(render_hdr, static_argnames=("static", "cfg"))
+    full, st_full = render(scene, static, cam, cfg, key)
+    tiled, st_tiled = render(scene, static, cam,
+                             cfg.replace(row_tile=8), key)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(tiled),
+                               rtol=1e-5, atol=1e-6)
+    assert int(st_full.shadow_rays) == int(st_tiled.shadow_rays)
