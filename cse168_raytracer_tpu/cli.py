@@ -24,6 +24,11 @@ def _cmd_scenes(_args) -> int:
 
 
 def _cmd_render(args) -> int:
+    # multi-host join must precede any other JAX call (backend init)
+    from cse168_raytracer_tpu.parallel import distributed as dist
+    proc = dist.init_multihost(args.coordinator, args.num_processes,
+                               args.process_id)
+
     import jax
     import numpy as np
 
@@ -70,6 +75,27 @@ def _cmd_render(args) -> int:
                       file=sys.stderr)
 
     key = jax.random.key(cfg.seed)
+    if args.sharded or jax.process_count() > 1:
+        from cse168_raytracer_tpu.parallel.sharding import render_hdr_sharded
+        mesh = dist.global_mesh()
+        print(f"[mesh] {mesh.size} devices over {jax.process_count()} "
+              f"process(es)", file=sys.stderr)
+        render = jax.jit(lambda s, c, k: render_hdr_sharded(
+            s, static, c, cfg, k, mesh))
+        t0 = time.time()
+        hdr = jax.block_until_ready(render(scene, cam, key))
+        print(f"[render] sharded compile+run {time.time() - t0:.2f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        hdr = jax.block_until_ready(render(scene, cam, key))
+        print(f"[render] steady-state {time.time() - t0:.3f}s",
+              file=sys.stderr)
+        img_np = dist.gather_image(hdr)
+        if proc == 0:
+            img = to_bytes(tonemap(jax.numpy.asarray(img_np), args.tonemap))
+            write_image(args.out, np.asarray(img))
+            print(f"[out] wrote {args.out}", file=sys.stderr)
+        return 0
     if args.progressive:
         from cse168_raytracer_tpu.render.progressive import render_progressive
         t0 = time.time()
@@ -157,6 +183,14 @@ def main(argv=None) -> int:
     r.add_argument("--no-photon-map", action="store_true")
     r.add_argument("--stats", action="store_true", help="-DSTATS counters")
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--sharded", action="store_true",
+                   help="shard pixel rows over all devices (single- or "
+                        "multi-host)")
+    r.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for jax.distributed "
+                        "multi-host jobs")
+    r.add_argument("--num-processes", type=int, default=None)
+    r.add_argument("--process-id", type=int, default=None)
     r.add_argument("--tonemap", choices=("sigmoid", "normalized", "none"),
                    default="sigmoid",
                    help="sigmoid = current reference (Scene.cpp:89); "

@@ -63,3 +63,25 @@ def test_gradients_synchronized_across_devices(sphere16):
         outs.append((np.asarray(s.materials.kd), float(loss)))
     np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5, atol=1e-7)
     assert abs(outs[0][1] - outs[1][1]) < 1e-6
+
+
+def test_multihost_module_single_process(sphere16):
+    """init_multihost degrades to a no-op single-process; global_mesh
+    covers all (virtual) devices; gather_image returns the full frame;
+    process_tile_rows assigns every row exactly once."""
+    from cse168_raytracer_tpu.parallel import distributed as dist
+    scene, static, cam, cfg = sphere16
+    assert dist.init_multihost() == 0
+    mesh = dist.global_mesh()
+    assert mesh.size == len(jax.devices())
+    key = jax.random.key(0)
+    ref, _ = jax.jit(render_hdr, static_argnames=("static", "cfg"))(
+        scene, static, cam, cfg, key)
+    hdr = jax.jit(
+        lambda s, c, k: render_hdr_sharded(s, static, c, cfg, k, mesh))(
+        scene, cam, key)
+    img = dist.gather_image(hdr)
+    assert img.shape == (16, 16, 3)
+    np.testing.assert_allclose(img, np.asarray(ref), rtol=1e-5, atol=1e-6)
+    row0, nrows = dist.process_tile_rows(16, mesh)
+    assert (row0, nrows) == (0, 16)   # single process owns every row
