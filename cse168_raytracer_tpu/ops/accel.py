@@ -155,17 +155,24 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
     """
     if kind == "auto":
         # the Pallas kernel keeps its leaf table VMEM-resident: 8 KB per
-        # 32-tri leaf, ~100 MB usable VMEM on v5e -> ~380k-triangle cap
-        # (bunny20-scale falls back to the streaming-friendly block
-        # sweep until the HBM-streaming kernel lands)
+        # 32-tri leaf, ~100 MB usable VMEM on v5e -> ~380k-triangle cap;
+        # bigger scenes become a forest of VMEM-sized sub-trees with
+        # cross-chunk tmax culling (chunk tables stream HBM->VMEM per
+        # pallas_call)
         n_tris = int(np.asarray(scene.tris.valid).sum())
-        fits_vmem = n_tris <= 380_000
-        kind = ("pallas_sah" if jax.default_backend() == "tpu" and fits_vmem
-                else "block")
+        if jax.default_backend() != "tpu":
+            kind = "block"
+        else:
+            kind = "pallas_sah" if n_tris <= 380_000 else "pallas_forest"
     if kind == "pallas_sah":
         # the SAH builder defines its own triangle order (leaf blocks)
         from cse168_raytracer_tpu.ops.pallas_bvh import build_pallas_bvh_sah
         new_pack, accel = build_pallas_bvh_sah(scene.tris)
+        return scene.replace(tris=new_pack, accel=accel)
+    if kind == "pallas_forest":
+        from cse168_raytracer_tpu.ops.pallas_bvh import \
+            build_pallas_bvh_forest
+        new_pack, accel = build_pallas_bvh_forest(scene.tris, **kwargs)
         return scene.replace(tris=new_pack, accel=accel)
     pack = scene.tris
     perm = morton_order(np.asarray(pack.v0), np.asarray(pack.e1),
@@ -196,9 +203,14 @@ def scene_closest_hit(accel, tris: TrianglePack, spheres: SpherePool,
     from cse168_raytracer_tpu.ops.packet import (PacketAccel,
                                                  packet_closest_hit)
     from cse168_raytracer_tpu.ops.pallas_bvh import (PallasBVH,
+                                                     PallasBVHForest,
+                                                     forest_closest_hit,
                                                      pallas_bvh_closest_hit)
     from cse168_raytracer_tpu.ops.pallas_intersect import (PallasTriBlocks,
                                                            pallas_closest_hit)
+    if isinstance(accel, PallasBVHForest):
+        return forest_closest_hit(accel, tris, spheres, planes, o, d,
+                                  tmin, tmax, blpatches=blpatches)
     if isinstance(accel, PallasBVH):
         return pallas_bvh_closest_hit(accel, tris, spheres, planes, o, d,
                                       tmin, tmax, blpatches=blpatches)
@@ -327,8 +339,13 @@ def scene_any_hit(accel: BlockAccel, tris: TrianglePack,
     from cse168_raytracer_tpu.ops.bvh import BVHAccel, bvh_any_hit
     from cse168_raytracer_tpu.ops.packet import PacketAccel, packet_any_hit
     from cse168_raytracer_tpu.ops.pallas_bvh import (PallasBVH,
+                                                     PallasBVHForest,
+                                                     forest_any_hit,
                                                      pallas_bvh_any_hit)
     from cse168_raytracer_tpu.ops.pallas_intersect import PallasTriBlocks
+    if isinstance(accel, PallasBVHForest):
+        return forest_any_hit(accel, tris, spheres, planes, o, d,
+                              tmin, tmax, blpatches=blpatches)
     if isinstance(accel, PallasBVH):
         return pallas_bvh_any_hit(accel, tris, spheres, planes, o, d,
                                   tmin, tmax, blpatches=blpatches)

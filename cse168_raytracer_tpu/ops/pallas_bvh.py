@@ -233,12 +233,13 @@ def _traverse_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             near_h = jnp.where(l_near, hL, hR)
             far_h = jnp.where(l_near, hR, hL)
 
+            # predicated push: write unconditionally at sp, advance sp
+            # only on a hit (a dead write is overwritten by the next
+            # push or never popped) — saves 2 lax.cond branches/visit
             def push(sp, idx, tv, h):
-                def yes(sp):
-                    stack_i[sp] = idx
-                    stack_t[sp] = tv
-                    return sp + 1
-                return jax.lax.cond(h, yes, lambda s: s, sp)
+                stack_i[sp] = idx
+                stack_t[sp] = tv
+                return sp + jnp.where(h, 1, 0)
 
             sp = push(sp, far_i, far_t, far_h)
             sp = push(sp, near_i, near_t, near_h)
@@ -319,7 +320,7 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
         stack_i, stack_t = rest
         stats_refs = None
 
-    W = GSUB * T
+    W = r8_ref.shape[1]                  # rays per program (gsub * T)
     rc = r8_ref[0]                       # (W, 8) wide host layout
     r8 = jnp.transpose(rc)               # (8, W)
     rmat = rmat_ref[0]                   # (W, 16)
@@ -385,11 +386,9 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             far_h = jnp.where(l_near, hR, hL)
 
             def push(sp, idx, tv, h):
-                def yes(sp):
-                    stack_i[sp] = idx
-                    stack_t[sp] = tv
-                    return sp + 1
-                return jax.lax.cond(h, yes, lambda s: s, sp)
+                stack_i[sp] = idx
+                stack_t[sp] = tv
+                return sp + jnp.where(h, 1, 0)
 
             sp = push(sp, far_i, far_t, far_h)
             sp = push(sp, near_i, near_t, near_h)
@@ -448,7 +447,8 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
                                      any_hit: bool = False,
                                      interpret: bool | None = None,
                                      with_stats: bool = False,
-                                     wide: bool = True):  # noqa: E501 — default flipped after TPU A/B below
+                                     wide: bool = True,
+                                     gsub: int | None = None):  # noqa: E501 — default flipped after TPU A/B below
     """Closest hit (or first-hit occlusion) of N rays against the
     VMEM-resident BVH. prim_id indexes the Morton-ordered pack.
 
@@ -462,12 +462,16 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
         (accel, o, d, tmin, tmax))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if gsub is None:
+        gsub = GSUB
+    if not wide:
+        gsub = GSUB          # narrow kernel is hard-wired to 8 subtiles
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
 
-    ng = max(1, -(-n // (GSUB * T)))
-    n_pad = ng * GSUB * T
+    ng = max(1, -(-n // (gsub * T)))
+    n_pad = ng * gsub * T
 
     def pad(x, fill):
         if n_pad == n:
@@ -588,6 +592,143 @@ def pallas_bvh_any_hit(accel: PallasBVH, tris, spheres, planes, o, d,
                                tmin, tmax, blpatches))
     h = pallas_bvh_closest_hit_triangles(accel, o, d, tmin, tmax,
                                          any_hit=True)
+    occ = h.hit
+    occ = occ | intersect_spheres(spheres, o, d, tmin, tmax).hit
+    occ = occ | intersect_planes(planes, o, d, tmin, tmax).hit
+    if blpatches is not None:
+        occ = occ | intersect_blpatches(blpatches, o, d, tmin, tmax).hit
+    return occ
+
+
+# ---------------------------------------------------------------------------
+# Forest: scenes past the VMEM cap (bunny20-scale, SURVEY.md #11/12 at
+# 1.39 M tris). The leaf table costs 8 KB per 32-tri leaf, so one tree
+# caps at ~380k triangles of VMEM residency. Bigger scenes become a
+# FOREST of spatially-partitioned sub-trees (contiguous Morton ranges
+# -> compact chunk bounds): rays traverse chunk k with tmax shrunk to
+# their running best t from chunks 0..k-1, so later chunks are culled
+# at their root for most rays (ordered-descent semantics ACROSS trees,
+# BVH.cpp:586-651 at forest granularity). Each chunk's tables are
+# swapped into VMEM per pallas_call — HBM->VMEM streaming at chunk
+# granularity instead of per-leaf DMA.
+# ---------------------------------------------------------------------------
+
+
+class PallasBVHForest(NamedTuple):
+    chunks: tuple            # of PallasBVH
+    starts: tuple            # static int leaf-row offsets into the pack
+
+
+def _forest_flatten(f: PallasBVHForest):
+    return (f.chunks,), (f.starts,)
+
+
+def _forest_unflatten(aux, children):
+    return PallasBVHForest(chunks=children[0], starts=aux[0])
+
+
+jax.tree_util.register_pytree_node(PallasBVHForest, _forest_flatten,
+                                   _forest_unflatten)
+
+
+def build_pallas_bvh_forest(pack: TrianglePack,
+                            chunk_tris: int = 327_680):
+    """Split `pack` into Morton-contiguous chunks of <= chunk_tris
+    valid triangles, SAH-build each, and concatenate the leaf-ordered
+    chunk packs into one scene pack (chunk c's prim ids live at rows
+    [starts[c], starts[c] + 32 * n_leaves_c)).
+
+    Returns (new_pack, PallasBVHForest).
+    """
+    from cse168_raytracer_tpu.ops.accel import morton_order
+    from cse168_raytracer_tpu.models.geometry import build_pack_from_arrays
+
+    valid = np.asarray(pack.valid)
+    perm = morton_order(np.asarray(pack.v0), np.asarray(pack.e1),
+                        np.asarray(pack.e2), valid)
+    perm = perm[valid[perm]]                       # valid rows, Morton order
+    n = perm.shape[0]
+    n_chunks = max(1, -(-n // chunk_tris))
+    per = -(-n // n_chunks)
+
+    def rows(a, idx):
+        return np.asarray(a)[idx]
+
+    chunk_packs, accels, starts = [], [], []
+    row0 = 0
+    for c in range(n_chunks):
+        idx = perm[c * per:(c + 1) * per]
+        sub = build_pack_from_arrays(
+            rows(pack.v0, idx), rows(pack.e1, idx), rows(pack.e2, idx),
+            rows(pack.n0, idx), rows(pack.n1, idx), rows(pack.n2, idx),
+            rows(pack.t0, idx), rows(pack.t1, idx), rows(pack.t2, idx),
+            rows(pack.has_uv, idx), rows(pack.material_id, idx),
+            np.ones(idx.shape[0], bool))
+        sub_pack, accel = build_pallas_bvh_sah(sub)
+        chunk_packs.append(sub_pack)
+        accels.append(accel)
+        starts.append(row0)
+        row0 += sub_pack.v0.shape[0]
+
+    cat = lambda f: np.concatenate([np.asarray(f(p)) for p in chunk_packs])
+    new_pack = build_pack_from_arrays(
+        cat(lambda p: p.v0), cat(lambda p: p.e1), cat(lambda p: p.e2),
+        cat(lambda p: p.n0), cat(lambda p: p.n1), cat(lambda p: p.n2),
+        cat(lambda p: p.t0), cat(lambda p: p.t1), cat(lambda p: p.t2),
+        cat(lambda p: p.has_uv), cat(lambda p: p.material_id),
+        cat(lambda p: p.valid))
+    return new_pack, PallasBVHForest(chunks=tuple(accels),
+                                     starts=tuple(starts))
+
+
+def forest_closest_hit_triangles(forest: PallasBVHForest, o, d, tmin,
+                                 tmax, any_hit: bool = False,
+                                 interpret: bool | None = None) -> Hit:
+    """Closest hit across the forest with cross-chunk tmax shrinking."""
+    n = o.shape[0]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    best_t = jnp.full((n,), _BIG, jnp.float32)
+    best_id = jnp.zeros((n,), jnp.int32)
+    for accel, start in zip(forest.chunks, forest.starts):
+        cur_tmax = jnp.minimum(tmax, best_t)
+        if any_hit:
+            # occluded rays are done: poison tmax so every program whose
+            # rays all resolved culls at the root slab test
+            cur_tmax = jnp.where(best_t < _BIG, -1.0, tmax)
+        h = pallas_bvh_closest_hit_triangles(accel, o, d, tmin, cur_tmax,
+                                             any_hit=any_hit,
+                                             interpret=interpret)
+        better = h.hit & (h.t < best_t)
+        best_t = jnp.where(better, h.t, best_t)
+        best_id = jnp.where(better, h.prim_id + start, best_id)
+    hit = best_t < _BIG
+    return Hit(t=best_t, prim_type=jnp.where(hit, PRIM_TRI, PRIM_NONE),
+               prim_id=best_id, hit=hit)
+
+
+def forest_closest_hit(forest: PallasBVHForest, tris, spheres, planes,
+                       o, d, tmin=0.0, tmax=MIRO_TMAX, blpatches=None) -> Hit:
+    from cse168_raytracer_tpu.ops.intersect import (_merge,
+                                                    intersect_blpatches,
+                                                    intersect_planes,
+                                                    intersect_spheres)
+    h = forest_closest_hit_triangles(forest, o, d, tmin, tmax)
+    h = _merge(h, intersect_spheres(spheres, o, d, tmin, tmax))
+    h = _merge(h, intersect_planes(planes, o, d, tmin, tmax))
+    if blpatches is not None:
+        h = _merge(h, intersect_blpatches(blpatches, o, d, tmin, tmax))
+    return h
+
+
+def forest_any_hit(forest: PallasBVHForest, tris, spheres, planes, o, d,
+                   tmin=0.0, tmax=MIRO_TMAX, blpatches=None):
+    from cse168_raytracer_tpu.ops.intersect import (intersect_blpatches,
+                                                    intersect_planes,
+                                                    intersect_spheres)
+    (forest, tris, spheres, planes, o, d, tmin, tmax, blpatches) = \
+        jax.lax.stop_gradient((forest, tris, spheres, planes, o, d,
+                               tmin, tmax, blpatches))
+    h = forest_closest_hit_triangles(forest, o, d, tmin, tmax, any_hit=True)
     occ = h.hit
     occ = occ | intersect_spheres(spheres, o, d, tmin, tmax).hit
     occ = occ | intersect_planes(planes, o, d, tmin, tmax).hit

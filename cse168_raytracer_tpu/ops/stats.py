@@ -77,11 +77,27 @@ def traversal_stats(accel, o: jax.Array, d: jax.Array,
     for the block accel they come from the approximating separate pass
     above."""
     from cse168_raytracer_tpu.ops.pallas_bvh import (
-        PallasBVH, pallas_bvh_closest_hit_triangles)
+        _BIG, PallasBVH, PallasBVHForest,
+        pallas_bvh_closest_hit_triangles)
+    n = o.shape[0]
+    if isinstance(accel, PallasBVHForest):
+        # sum over chunks with the same cross-chunk tmax shrinking the
+        # real forest traversal applies
+        best_t = jnp.full((n,), _BIG, jnp.float32)
+        box = tri = jnp.float32(0)
+        for chunk in accel.chunks:
+            h, b, t = pallas_bvh_closest_hit_triangles(
+                chunk, o, d, tmin, jnp.minimum(
+                    jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,)),
+                    best_t), with_stats=True)
+            best_t = jnp.minimum(best_t, jnp.where(h.hit, h.t, _BIG))
+            box = box + jnp.sum(b.astype(jnp.float32))
+            tri = tri + jnp.sum(t.astype(jnp.float32))
+        return TraversalStats(box_tests_per_ray=box / n,
+                              tri_tests_per_ray=tri / n, rays=n)
     if isinstance(accel, PallasBVH):
         _, box, tri = pallas_bvh_closest_hit_triangles(
             accel, o, d, tmin, tmax, with_stats=True)
-        n = o.shape[0]
         return TraversalStats(
             box_tests_per_ray=jnp.sum(box.astype(jnp.float32)) / n,
             tri_tests_per_ray=jnp.sum(tri.astype(jnp.float32)) / n,

@@ -172,3 +172,34 @@ def test_pallas_sah_render_matches_block(teapot_pack):
         imgs[kind] = np.asarray(hdr)
     np.testing.assert_allclose(imgs["pallas_sah"], imgs["block"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_forest_matches_single_tree(teapot_pack, rays):
+    """Chunked forest (3 sub-trees) must reproduce the single-tree hits:
+    same hit mask, same t, and prim ids that map to the same triangle."""
+    from cse168_raytracer_tpu.ops.pallas_bvh import (
+        build_pallas_bvh_forest, build_pallas_bvh_sah,
+        forest_closest_hit_triangles, pallas_bvh_closest_hit_triangles)
+    o, d = rays
+    o, d = o[:384], d[:384]   # interpret mode is slow; keep it small
+    n_valid = int(np.asarray(teapot_pack.valid).sum())
+    f_pack, forest = build_pallas_bvh_forest(teapot_pack,
+                                             chunk_tris=-(-n_valid // 3))
+    assert len(forest.chunks) == 3
+    s_pack, tree = build_pallas_bvh_sah(teapot_pack)
+    hf = forest_closest_hit_triangles(forest, o, d, 0.0, 1e10,
+                                      interpret=True)
+    hs = pallas_bvh_closest_hit_triangles(tree, o, d, 0.0, 1e10,
+                                          interpret=True)
+    assert np.array_equal(np.asarray(hf.hit), np.asarray(hs.hit))
+    both = np.asarray(hf.hit)
+    np.testing.assert_allclose(np.asarray(hf.t)[both],
+                               np.asarray(hs.t)[both], rtol=1e-4, atol=1e-5)
+    # prim ids index different re-orderings; compare the triangles
+    fv = np.asarray(f_pack.v0)[np.asarray(hf.prim_id)[both]]
+    sv = np.asarray(s_pack.v0)[np.asarray(hs.prim_id)[both]]
+    assert np.mean(np.all(np.abs(fv - sv) < 1e-6, axis=1)) > 0.99
+    # any-hit masks agree too
+    of = forest_closest_hit_triangles(forest, o, d, 0.0, 1e10,
+                                      any_hit=True, interpret=True)
+    assert np.array_equal(np.asarray(of.hit), np.asarray(hs.hit))
