@@ -24,9 +24,17 @@ import os
 import sys
 import time
 
+# persistent XLA compile cache: the remote-compile path pays a large
+# per-process cold start; cached executables skip it entirely
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # writeup/A2/Readme.tex:81: 1 bunny with shadows, 512^2, SSE, 16 threads
 BASELINE_RAYS_PER_SEC = 524288 / 0.084176

@@ -169,6 +169,10 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
         from cse168_raytracer_tpu.ops.pallas_bvh import build_pallas_bvh_sah
         new_pack, accel = build_pallas_bvh_sah(scene.tris)
         return scene.replace(tris=new_pack, accel=accel)
+    if kind == "pallas_sah4":
+        from cse168_raytracer_tpu.ops.pallas_bvh import build_pallas_bvh4_sah
+        new_pack, accel = build_pallas_bvh4_sah(scene.tris)
+        return scene.replace(tris=new_pack, accel=accel)
     if kind == "pallas_forest":
         from cse168_raytracer_tpu.ops.pallas_bvh import \
             build_pallas_bvh_forest
@@ -203,6 +207,7 @@ def scene_closest_hit(accel, tris: TrianglePack, spheres: SpherePool,
     from cse168_raytracer_tpu.ops.packet import (PacketAccel,
                                                  packet_closest_hit)
     from cse168_raytracer_tpu.ops.pallas_bvh import (PallasBVH,
+                                                     PallasBVH4,
                                                      PallasBVHForest,
                                                      forest_closest_hit,
                                                      pallas_bvh_closest_hit)
@@ -211,7 +216,7 @@ def scene_closest_hit(accel, tris: TrianglePack, spheres: SpherePool,
     if isinstance(accel, PallasBVHForest):
         return forest_closest_hit(accel, tris, spheres, planes, o, d,
                                   tmin, tmax, blpatches=blpatches)
-    if isinstance(accel, PallasBVH):
+    if isinstance(accel, (PallasBVH, PallasBVH4)):
         return pallas_bvh_closest_hit(accel, tris, spheres, planes, o, d,
                                       tmin, tmax, blpatches=blpatches)
     if isinstance(accel, BVHAccel):
@@ -339,6 +344,7 @@ def scene_any_hit(accel: BlockAccel, tris: TrianglePack,
     from cse168_raytracer_tpu.ops.bvh import BVHAccel, bvh_any_hit
     from cse168_raytracer_tpu.ops.packet import PacketAccel, packet_any_hit
     from cse168_raytracer_tpu.ops.pallas_bvh import (PallasBVH,
+                                                     PallasBVH4,
                                                      PallasBVHForest,
                                                      forest_any_hit,
                                                      pallas_bvh_any_hit)
@@ -346,7 +352,7 @@ def scene_any_hit(accel: BlockAccel, tris: TrianglePack,
     if isinstance(accel, PallasBVHForest):
         return forest_any_hit(accel, tris, spheres, planes, o, d,
                               tmin, tmax, blpatches=blpatches)
-    if isinstance(accel, PallasBVH):
+    if isinstance(accel, (PallasBVH, PallasBVH4)):
         return pallas_bvh_any_hit(accel, tris, spheres, planes, o, d,
                                   tmin, tmax, blpatches=blpatches)
     if isinstance(accel, PallasTriBlocks):

@@ -315,10 +315,8 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
     """
     if with_stats:
         out_nv_ref, out_lv_ref, stack_i, stack_t = rest
-        stats_refs = (out_nv_ref, out_lv_ref)
     else:
         stack_i, stack_t = rest
-        stats_refs = None
 
     W = r8_ref.shape[1]                  # rays per program (gsub * T)
     rc = r8_ref[0]                       # (W, 8) wide host layout
@@ -333,29 +331,29 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
     tmin_c = rmat[:, 10:11]
     tmax_c = rmat[:, 11:12]
 
-    out_t_ref[0, :] = jnp.full((W,), _BIGF, jnp.float32)
-    out_id_ref[0, :] = jnp.zeros((W,), jnp.int32)
-    if stats_refs is not None:
-        stats_refs[0][0, :] = jnp.zeros((W,), jnp.int32)
-        stats_refs[1][0, :] = jnp.zeros((W,), jnp.int32)
     stack_i[0] = 0
     stack_t[0] = 0.0
     sp0 = jnp.where(jnp.any(tmax_r >= tmin_r), 1, 0)
 
-    def body(sp):
+    # loop state lives in the while-carry (vector registers), not VMEM:
+    # (sp, best t (1,W), best id (1,W), node visits, leaf visits)
+    state0 = (sp0, jnp.full((1, W), _BIGF, jnp.float32),
+              jnp.zeros((1, W), jnp.int32), jnp.int32(0), jnp.int32(0))
+
+    def body(state):
+        sp, best, bid, nv, lv = state
         sp = sp - 1
         node = stack_i[sp]
         ten = stack_t[sp]
-        best = out_t_ref[0, :].reshape(1, W)
+        state = (sp, best, bid, nv, lv)      # re-pack the popped sp
         if any_hit:
             curmax = jnp.where(best < _BIGF, -1.0, tmax_r)
         else:
             curmax = jnp.minimum(tmax_r, best)
         live = ten <= jnp.max(curmax)
 
-        def do_internal(sp):
-            if stats_refs is not None:
-                stats_refs[0][0, :] = stats_refs[0][0, :] + 1
+        def do_internal(state):
+            sp, best, bid, nv, lv = state
             cb = cbox_ref[node, :].reshape(16, 1)
             cl = cbox_ref[node, 12].astype(jnp.int32)
             cr = cbox_ref[node, 13].astype(jnp.int32)
@@ -385,6 +383,8 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             near_h = jnp.where(l_near, hL, hR)
             far_h = jnp.where(l_near, hR, hL)
 
+            # predicated push: write unconditionally at sp, advance sp
+            # only on a hit — no scalar branches
             def push(sp, idx, tv, h):
                 stack_i[sp] = idx
                 stack_t[sp] = tv
@@ -392,11 +392,10 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
 
             sp = push(sp, far_i, far_t, far_h)
             sp = push(sp, near_i, near_t, near_h)
-            return sp
+            return (sp, best, bid, nv + 1, lv)
 
-        def do_leaf(sp):
-            if stats_refs is not None:
-                stats_refs[1][0, :] = stats_refs[1][0, :] + 1
+        def do_leaf(state):
+            sp, best, bid, nv, lv = state
             leaf = -node - 1
             w = leafW_ref[leaf]                            # (16, 128)
             nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
@@ -411,11 +410,10 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             gamma = g_n * inv
             tt = t_n * inv
             if any_hit:
-                curmax_c = jnp.where(
-                    out_t_ref[0, :].reshape(W, 1) < _BIGF, -1.0, tmax_c)
+                curmax_c = jnp.where(best.reshape(W, 1) < _BIGF,
+                                     -1.0, tmax_c)
             else:
-                curmax_c = jnp.minimum(tmax_c,
-                                       out_t_ref[0, :].reshape(W, 1))
+                curmax_c = jnp.minimum(tmax_c, best.reshape(W, 1))
             ok = ((beta >= -EPSILON) & (gamma >= -EPSILON)
                   & (beta + gamma <= 1.0 + EPSILON)
                   & (tt >= tmin_c) & (tt <= curmax_c)
@@ -423,23 +421,29 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             tm = jnp.where(ok, tt, _BIGF)
             lt = jnp.min(tm, axis=1).reshape(1, W)
             lj = jnp.argmin(tm, axis=1).astype(jnp.int32).reshape(1, W)
-            best_r = out_t_ref[0, :].reshape(1, W)
-            better = lt < best_r
-            out_t_ref[0, :] = jnp.where(better, lt, best_r)[0]
-            old_id = out_id_ref[0, :].reshape(1, W)
-            out_id_ref[0, :] = jnp.where(better, leaf * K + lj, old_id)[0]
+            better = lt < best
+            best = jnp.where(better, lt, best)
+            bid = jnp.where(better, leaf * K + lj, bid)
             if any_hit:
-                occ_or_dead = ((out_t_ref[0, :].reshape(1, W) < _BIGF)
-                               | (tmax_r < tmin_r))
+                occ_or_dead = (best < _BIGF) | (tmax_r < tmin_r)
                 sp = jnp.where(jnp.all(occ_or_dead), 0, sp)
-            return sp
+            return (sp, best, bid, nv, lv + 1)
 
-        def visit(sp):
-            return jax.lax.cond(node >= 0, do_internal, do_leaf, sp)
+        def visit(state):
+            return jax.lax.cond(node >= 0, do_internal, do_leaf, state)
 
-        return jax.lax.cond(live, visit, lambda s: s, sp)
+        return jax.lax.cond(live, visit,
+                            lambda s: (sp, s[1], s[2], s[3], s[4]), state)
 
-    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
+    _, best, bid, nv, lv = jax.lax.while_loop(
+        lambda s: s[0] > 0, body, state0)
+    # single end-of-walk store; outputs are (1, 8, W) blocks (Mosaic
+    # wants >=8 sublanes), so broadcast the row across sublanes
+    out_t_ref[0] = jnp.broadcast_to(best, (8, W))
+    out_id_ref[0] = jnp.broadcast_to(bid, (8, W))
+    if with_stats:
+        out_nv_ref[0] = jnp.broadcast_to(nv.reshape(1, 1), (8, W))
+        out_lv_ref[0] = jnp.broadcast_to(lv.reshape(1, 1), (8, W))
 
 
 def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
@@ -497,9 +501,14 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
         [d_p, m_p, o_p, ones, tmin_p[:, None], tmax_p[:, None], zeros],
         axis=1).reshape(ng, GSUB, T, 16)
 
-    kern = functools.partial(
-        _traverse_kernel_wide if wide else _traverse_kernel,
-        any_hit=any_hit, with_stats=with_stats)
+    is4 = isinstance(accel, PallasBVH4)
+    if is4:
+        wide = True
+        kern_fn = _traverse4_kernel_wide
+    else:
+        kern_fn = _traverse_kernel_wide if wide else _traverse_kernel
+    kern = functools.partial(kern_fn, any_hit=any_hit,
+                             with_stats=with_stats)
     s = accel.stack_depth
     WT = GSUB * T
     if wide:
@@ -514,9 +523,13 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
             pl.BlockSpec((1, WT, 16), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        rt_spec = pl.BlockSpec((1, WT), lambda i: (i, 0),
+        # outputs are (1, 8, W) blocks: Mosaic requires the last two
+        # block dims be (mult of 8, mult of 128); the kernel broadcasts
+        # its (1, W) result row across the 8 sublanes and the host
+        # reads sublane 0
+        rt_spec = pl.BlockSpec((1, 8, WT), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
-        rt_shape = (ng, WT)
+        rt_shape = (ng, 8, WT)
     else:
         ray_specs = [
             pl.BlockSpec((1, GSUB, T, 8), lambda i: (i, 0, 0, 0),
@@ -551,16 +564,17 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(r8, rmat, accel.cbox, accel.leafW)
-    best_t, best_id = outs[0], outs[1]
-
-    best_t = best_t.reshape(n_pad)[:n]
-    best_id = best_id.reshape(n_pad)[:n]
+    if wide:
+        outs = [x[:, 0, :] for x in outs]    # sublane 0 of each block
+    best_t = outs[0].reshape(n_pad)[:n]
+    best_id = outs[1].reshape(n_pad)[:n]
     hit = best_t < _BIG
     h = Hit(t=best_t, prim_type=jnp.where(hit, PRIM_TRI, PRIM_NONE),
             prim_id=best_id, hit=hit)
     if with_stats:
-        # internal visits test 2 child boxes; leaf visits test K tris
-        box_tests = 2 * outs[2].reshape(n_pad)[:n]
+        # internal visits test 2 (4-wide: 4) child boxes; leaf visits
+        # test K triangles
+        box_tests = (4 if is4 else 2) * outs[2].reshape(n_pad)[:n]
         tri_tests = K * outs[3].reshape(n_pad)[:n]
         return h, box_tests, tri_tests
     return h
@@ -735,3 +749,259 @@ def forest_any_hit(forest: PallasBVHForest, tris, spheres, planes, o, d,
     if blpatches is not None:
         occ = occ | intersect_blpatches(blpatches, o, d, tmin, tmax).hit
     return occ
+
+
+# ---------------------------------------------------------------------------
+# 4-wide BVH: the scalar while-loop overhead per node visit (stack ops,
+# branch on node kind, loop bookkeeping) dominates the traversal, not
+# the (12, W) VPU slab math. Collapsing the binary SAH tree two levels
+# at a time (each BVH4 node's slots are its grandchildren) halves the
+# internal-visit count; a visit slab-tests 4 boxes as (24, W) rows —
+# the vector work doubles where it is nearly free and the scalar work
+# halves where it is the bottleneck. Slot pushes go far-to-near through
+# a 5-comparator sorting network on scalars (ordered descent,
+# BVH.cpp:586-651 semantics, at 4-way branching).
+# ---------------------------------------------------------------------------
+
+
+class PallasBVH4(NamedTuple):
+    cbox: jax.Array    # (N4, 32) f32 [lo0 hi0 lo1 hi1 lo2 hi2 lo3 hi3
+    #                                  link0..3 pad4]
+    leafW: jax.Array   # (L, 16, 128) — same leaf table as PallasBVH
+    n_nodes: int
+    n_leaves: int
+    stack_depth: int
+
+
+def _pb4_flatten(b: PallasBVH4):
+    return (b.cbox, b.leafW), (b.n_nodes, b.n_leaves, b.stack_depth)
+
+
+def _pb4_unflatten(aux, children):
+    return PallasBVH4(*children, *aux)
+
+
+jax.tree_util.register_pytree_node(PallasBVH4, _pb4_flatten, _pb4_unflatten)
+
+
+def _collapse_to_bvh4(nodes14: np.ndarray):
+    """Collapse a binary child-box tree (sah.py layout) into 4-wide
+    nodes. Returns (cbox4 (N4, 32) f32, depth4)."""
+    n_bin = nodes14.shape[0]
+    rows = []           # [24 box floats + 4 raw links (old ids / ~leaf)]
+    new_id = {}         # old internal id -> new id (only collapsed roots)
+    order = []          # old ids in emission order
+    stack = [0]
+    while stack:
+        old = stack.pop()
+        if old in new_id:
+            continue
+        new_id[old] = len(rows)
+        order.append(old)
+        r = nodes14[old]
+        slots = []      # (lo(3), hi(3), link) in child order
+        for side in (0, 1):
+            box = r[side * 6:side * 6 + 6]
+            link = int(r[12 + side])
+            if link >= 0:           # internal child: expand to its kids
+                rr = nodes14[link]
+                for s2 in (0, 1):
+                    slots.append((rr[s2 * 6:s2 * 6 + 3],
+                                  rr[s2 * 6 + 3:s2 * 6 + 6],
+                                  int(rr[12 + s2])))
+            else:                   # leaf child: keep as its own slot
+                slots.append((box[0:3], box[3:6], link))
+        row = np.empty(28, np.float32)
+        for i in range(4):
+            if i < len(slots):
+                lo, hi, link = slots[i]
+                row[6 * i:6 * i + 3] = lo
+                row[6 * i + 3:6 * i + 6] = hi
+                row[24 + i] = link
+                if link >= 0:
+                    stack.append(link)
+            else:
+                # empty slot: a DEGENERATE POINT at +infinity (lo == hi
+                # == _FAR, the 2-wide sentinel): ent == ext == 1e30 >
+                # curmax for every ray. An INVERTED box (hi < lo) would
+                # be wrong here — per-axis tn=min/tf=max of the two
+                # plane t's spans (-inf, inf) for straddling planes, so
+                # an inverted box ACCEPTS every ray and its 0 link
+                # would re-push the root forever.
+                row[6 * i:6 * i + 6] = _FAR
+                row[24 + i] = 0.0
+        rows.append(row)
+    cbox4 = np.zeros((len(rows), 32), np.float32)
+    cbox4[:, :28] = np.stack(rows)
+    # remap internal links old->new
+    for j in range(len(rows)):
+        for i in range(4):
+            link = int(cbox4[j, 24 + i])
+            if cbox4[j, 6 * i] < _FAR and link >= 0:
+                cbox4[j, 24 + i] = float(new_id[link])
+    # depth of the collapsed tree (for stack sizing): BFS
+    depth4 = 1
+    frontier = {0}
+    seen = set()
+    while frontier:
+        nxt = set()
+        for j in frontier:
+            seen.add(j)
+            for i in range(4):
+                link = int(cbox4[j, 24 + i])
+                if cbox4[j, 6 * i] < _FAR and link >= 0 \
+                        and link not in seen:
+                    nxt.add(link)
+        frontier = nxt
+        if frontier:
+            depth4 += 1
+    assert len(seen) == len(rows) <= n_bin
+    return cbox4, depth4
+
+
+def build_pallas_bvh4_sah(pack: TrianglePack):
+    """SAH build collapsed to 4-wide (leaf table identical to the
+    2-wide build; only the inner-node topology changes)."""
+    from cse168_raytracer_tpu.ops.sah import sah_build_and_reorder
+    new_pack, nodes14, n_leaves, _depth = sah_build_and_reorder(pack, K)
+    cbox4, depth4 = _collapse_to_bvh4(nodes14.astype(np.float32))
+    accel = PallasBVH4(cbox=jnp.asarray(cbox4),
+                       leafW=jnp.asarray(_leafW_from_pack(new_pack,
+                                                          n_leaves)),
+                       n_nodes=int(cbox4.shape[0]),
+                       n_leaves=int(n_leaves),
+                       stack_depth=int(3 * depth4 + 6))
+    return new_pack, accel
+
+
+def _traverse4_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
+                           out_t_ref, out_id_ref, *rest,
+                           any_hit: bool, with_stats: bool):
+    """4-wide variant of _traverse_kernel_wide (one shared stack per
+    grid program; 4 child boxes per internal visit)."""
+    if with_stats:
+        out_nv_ref, out_lv_ref, stack_i, stack_t = rest
+    else:
+        stack_i, stack_t = rest
+
+    W = r8_ref.shape[1]
+    rc = r8_ref[0]
+    r8 = jnp.transpose(rc)               # (8, W)
+    rmat = rmat_ref[0]                   # (W, 16)
+    o3 = r8[0:3, :]
+    rcp3 = r8[3:6, :]
+    tmin_r = r8[6:7, :]
+    tmax_r = r8[7:8, :]
+    ob24 = jnp.concatenate([o3] * 8, axis=0)          # (24, W)
+    rcp24 = jnp.concatenate([rcp3] * 8, axis=0)
+    tmin_c = rmat[:, 10:11]
+    tmax_c = rmat[:, 11:12]
+
+    stack_i[0] = 0
+    stack_t[0] = 0.0
+    sp0 = jnp.where(jnp.any(tmax_r >= tmin_r), 1, 0)
+    state0 = (sp0, jnp.full((1, W), _BIGF, jnp.float32),
+              jnp.zeros((1, W), jnp.int32), jnp.int32(0), jnp.int32(0))
+
+    def body(state):
+        sp, best, bid, nv, lv = state
+        sp = sp - 1
+        node = stack_i[sp]
+        ten = stack_t[sp]
+        state = (sp, best, bid, nv, lv)      # re-pack the popped sp
+        if any_hit:
+            curmax = jnp.where(best < _BIGF, -1.0, tmax_r)
+        else:
+            curmax = jnp.minimum(tmax_r, best)
+        live = ten <= jnp.max(curmax)
+
+        def do_internal(state):
+            sp, best, bid, nv, lv = state
+            cb = cbox_ref[node, :].reshape(32, 1)
+            cb24 = jnp.broadcast_to(cb[0:24], (24, W))
+            t_all = (cb24 - ob24) * rcp24
+            lo_t = jnp.where(jnp.isnan(t_all), -jnp.inf, t_all)
+            hi_t = jnp.where(jnp.isnan(t_all), jnp.inf, t_all)
+            keys = []
+            for i in range(4):
+                tn = jnp.minimum(lo_t[6 * i:6 * i + 3],
+                                 lo_t[6 * i + 3:6 * i + 6])
+                tf = jnp.maximum(hi_t[6 * i:6 * i + 3],
+                                 hi_t[6 * i + 3:6 * i + 6])
+                ent = jnp.maximum(jnp.max(tn, axis=0, keepdims=True),
+                                  tmin_r)
+                ext = jnp.minimum(jnp.min(tf, axis=0, keepdims=True),
+                                  curmax)
+                ok = ent <= ext
+                t_i = jnp.min(jnp.where(ok, ent, jnp.inf))
+                k_i = jnp.where(jnp.any(ok), t_i, -jnp.inf)  # -inf = dead
+                l_i = cbox_ref[node, 24 + i].astype(jnp.int32)
+                keys.append((k_i, l_i))
+
+            # descending sort by key: push far-to-near, dead (-inf) last
+            def cswap(a, b):
+                sw = a[0] < b[0]
+                hi = (jnp.where(sw, b[0], a[0]), jnp.where(sw, b[1], a[1]))
+                lo = (jnp.where(sw, a[0], b[0]), jnp.where(sw, a[1], b[1]))
+                return hi, lo
+
+            keys[0], keys[1] = cswap(keys[0], keys[1])
+            keys[2], keys[3] = cswap(keys[2], keys[3])
+            keys[0], keys[2] = cswap(keys[0], keys[2])
+            keys[1], keys[3] = cswap(keys[1], keys[3])
+            keys[1], keys[2] = cswap(keys[1], keys[2])
+
+            for k_i, l_i in keys:
+                stack_i[sp] = l_i
+                stack_t[sp] = k_i
+                sp = sp + jnp.where(k_i > -jnp.inf, 1, 0)
+            return (sp, best, bid, nv + 1, lv)
+
+        def do_leaf(state):
+            sp, best, bid, nv, lv = state
+            leaf = -node - 1
+            w = leafW_ref[leaf]
+            nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            b_n = nums[:, 0:K]
+            g_n = nums[:, K:2 * K]
+            den = nums[:, 2 * K:3 * K]
+            t_n = nums[:, 3 * K:4 * K]
+            safe = jnp.where(jnp.abs(den) < _DEN_TINY, 1.0, den)
+            inv = 1.0 / safe
+            beta = b_n * inv
+            gamma = g_n * inv
+            tt = t_n * inv
+            if any_hit:
+                curmax_c = jnp.where(best.reshape(W, 1) < _BIGF,
+                                     -1.0, tmax_c)
+            else:
+                curmax_c = jnp.minimum(tmax_c, best.reshape(W, 1))
+            ok = ((beta >= -EPSILON) & (gamma >= -EPSILON)
+                  & (beta + gamma <= 1.0 + EPSILON)
+                  & (tt >= tmin_c) & (tt <= curmax_c)
+                  & (jnp.abs(den) >= _DEN_TINY))
+            tm = jnp.where(ok, tt, _BIGF)
+            lt = jnp.min(tm, axis=1).reshape(1, W)
+            lj = jnp.argmin(tm, axis=1).astype(jnp.int32).reshape(1, W)
+            better = lt < best
+            best = jnp.where(better, lt, best)
+            bid = jnp.where(better, leaf * K + lj, bid)
+            if any_hit:
+                occ_or_dead = (best < _BIGF) | (tmax_r < tmin_r)
+                sp = jnp.where(jnp.all(occ_or_dead), 0, sp)
+            return (sp, best, bid, nv, lv + 1)
+
+        def visit(state):
+            return jax.lax.cond(node >= 0, do_internal, do_leaf, state)
+
+        return jax.lax.cond(live, visit,
+                            lambda s: (sp, s[1], s[2], s[3], s[4]), state)
+
+    _, best, bid, nv, lv = jax.lax.while_loop(
+        lambda s: s[0] > 0, body, state0)
+    out_t_ref[0] = jnp.broadcast_to(best, (8, W))
+    out_id_ref[0] = jnp.broadcast_to(bid, (8, W))
+    if with_stats:
+        out_nv_ref[0] = jnp.broadcast_to(nv.reshape(1, 1), (8, W))
+        out_lv_ref[0] = jnp.broadcast_to(lv.reshape(1, 1), (8, W))

@@ -77,7 +77,7 @@ def traversal_stats(accel, o: jax.Array, d: jax.Array,
     for the block accel they come from the approximating separate pass
     above."""
     from cse168_raytracer_tpu.ops.pallas_bvh import (
-        _BIG, PallasBVH, PallasBVHForest,
+        _BIG, PallasBVH, PallasBVH4, PallasBVHForest,
         pallas_bvh_closest_hit_triangles)
     n = o.shape[0]
     if isinstance(accel, PallasBVHForest):
@@ -95,7 +95,7 @@ def traversal_stats(accel, o: jax.Array, d: jax.Array,
             tri = tri + jnp.sum(t.astype(jnp.float32))
         return TraversalStats(box_tests_per_ray=box / n,
                               tri_tests_per_ray=tri / n, rays=n)
-    if isinstance(accel, PallasBVH):
+    if isinstance(accel, (PallasBVH, PallasBVH4)):
         _, box, tri = pallas_bvh_closest_hit_triangles(
             accel, o, d, tmin, tmax, with_stats=True)
         return TraversalStats(

@@ -203,3 +203,54 @@ def test_pallas_forest_matches_single_tree(teapot_pack, rays):
     of = forest_closest_hit_triangles(forest, o, d, 0.0, 1e10,
                                       any_hit=True, interpret=True)
     assert np.array_equal(np.asarray(of.hit), np.asarray(hs.hit))
+
+
+def test_pallas_bvh4_matches_brute_force(teapot_pack, rays):
+    """4-wide collapsed tree must reproduce brute-force hits exactly
+    (same acceptance math, different topology)."""
+    from cse168_raytracer_tpu.ops.pallas_bvh import (
+        build_pallas_bvh4_sah, pallas_bvh_closest_hit_triangles)
+    o, d = rays
+    o, d = o[:512], d[:512]
+    new_pack, accel = build_pallas_bvh4_sah(teapot_pack)
+    h_ref = intersect_triangles(new_pack, o, d, 0.0, 1e10)
+    h = pallas_bvh_closest_hit_triangles(accel, o, d, 0.0, 1e10,
+                                         interpret=True)
+    _check_against_brute(h, h_ref)
+    occ = pallas_bvh_closest_hit_triangles(accel, o, d, 0.0, 1e10,
+                                           any_hit=True, interpret=True)
+    assert np.array_equal(np.asarray(occ.hit), np.asarray(h_ref.hit))
+
+
+def test_pallas_bvh4_tiny_meshes():
+    """Collapse edge cases: trees whose root children are leaves."""
+    from cse168_raytracer_tpu.models.geometry import pack_triangles
+    from cse168_raytracer_tpu.ops.pallas_bvh import (
+        build_pallas_bvh4_sah, pallas_bvh_closest_hit_triangles)
+    rng = np.random.default_rng(3)
+    for n_tri in (1, 33, 80):
+        v = rng.normal(0, 1, (n_tri * 3, 3)).astype(np.float32)
+        f = np.arange(n_tri * 3, dtype=np.int64).reshape(n_tri, 3)
+        nrm = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32),
+                      (n_tri * 3, 1))
+        mesh = {"vertices": v, "normals": nrm,
+                "texcoords": np.zeros((0, 2), np.float32),
+                "tri_vidx": f, "tri_nidx": f,
+                "tri_tidx": np.full((n_tri, 3), -1, np.int64)}
+        pack = pack_triangles([(mesh, 0)])
+        new_pack, accel = build_pallas_bvh4_sah(pack)
+        o = np.zeros((130, 3), np.float32) + np.array([0, 0, -5])
+        d = rng.normal(0, 1, (130, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        # brute-force via the ORIGINAL 128-padded pack (the leaf-ordered
+        # pack holds the same triangles, so hit mask and t must agree)
+        h_ref = intersect_triangles(pack, jnp.asarray(o),
+                                    jnp.asarray(d), 0.0, 1e10)
+        h = pallas_bvh_closest_hit_triangles(accel, jnp.asarray(o),
+                                             jnp.asarray(d), 0.0, 1e10,
+                                             interpret=True)
+        assert np.array_equal(np.asarray(h.hit), np.asarray(h_ref.hit)), n_tri
+        both = np.asarray(h.hit)
+        np.testing.assert_allclose(np.asarray(h.t)[both],
+                                   np.asarray(h_ref.t)[both],
+                                   rtol=1e-4, atol=1e-5)
