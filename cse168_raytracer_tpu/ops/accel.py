@@ -163,7 +163,8 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
         if jax.default_backend() != "tpu":
             kind = "block"
         else:
-            kind = "pallas_sah" if n_tris <= 380_000 else "pallas_forest"
+            # 4-wide collapsed tree wins the TPU A/B (see pallas_bvh)
+            kind = "pallas_sah4" if n_tris <= 380_000 else "pallas_forest"
     if kind == "pallas_sah":
         # the SAH builder defines its own triangle order (leaf blocks)
         from cse168_raytracer_tpu.ops.pallas_bvh import build_pallas_bvh_sah

@@ -314,9 +314,9 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
     the price of tile width, paid on the MXU/VPU where flops are free.
     """
     if with_stats:
-        out_nv_ref, out_lv_ref, stack_i, stack_t = rest
+        out_nv_ref, out_lv_ref, stack_i, stack_t, vbest, vbid = rest
     else:
-        stack_i, stack_t = rest
+        stack_i, stack_t, vbest, vbid = rest
 
     W = r8_ref.shape[1]                  # rays per program (gsub * T)
     rc = r8_ref[0]                       # (W, 8) wide host layout
@@ -335,17 +335,20 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
     stack_t[0] = 0.0
     sp0 = jnp.where(jnp.any(tmax_r >= tmin_r), 1, 0)
 
-    # loop state lives in the while-carry (vector registers), not VMEM:
-    # (sp, best t (1,W), best id (1,W), node visits, leaf visits)
-    state0 = (sp0, jnp.full((1, W), _BIGF, jnp.float32),
-              jnp.zeros((1, W), jnp.int32), jnp.int32(0), jnp.int32(0))
+    # best-hit state lives in VMEM scratch, updated IN PLACE by the
+    # leaf branch — carrying (1, W) vectors through the lax.conds costs
+    # a vector copy per visit per cond boundary (measured 4.3x slower)
+    vbest[0, :] = jnp.full((W,), _BIGF, jnp.float32)
+    vbid[0, :] = jnp.zeros((W,), jnp.int32)
+    state0 = (sp0, jnp.int32(0), jnp.int32(0))   # sp, node/leaf visits
 
     def body(state):
-        sp, best, bid, nv, lv = state
+        sp, nv, lv = state
         sp = sp - 1
         node = stack_i[sp]
         ten = stack_t[sp]
-        state = (sp, best, bid, nv, lv)      # re-pack the popped sp
+        state = (sp, nv, lv)                 # re-pack the popped sp
+        best = vbest[0, :].reshape(1, W)
         if any_hit:
             curmax = jnp.where(best < _BIGF, -1.0, tmax_r)
         else:
@@ -353,7 +356,7 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
         live = ten <= jnp.max(curmax)
 
         def do_internal(state):
-            sp, best, bid, nv, lv = state
+            sp, nv, lv = state
             cb = cbox_ref[node, :].reshape(16, 1)
             cl = cbox_ref[node, 12].astype(jnp.int32)
             cr = cbox_ref[node, 13].astype(jnp.int32)
@@ -392,10 +395,10 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
 
             sp = push(sp, far_i, far_t, far_h)
             sp = push(sp, near_i, near_t, near_h)
-            return (sp, best, bid, nv + 1, lv)
+            return (sp, nv + 1, lv)
 
         def do_leaf(state):
-            sp, best, bid, nv, lv = state
+            sp, nv, lv = state
             leaf = -node - 1
             w = leafW_ref[leaf]                            # (16, 128)
             nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
@@ -422,25 +425,25 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             lt = jnp.min(tm, axis=1).reshape(1, W)
             lj = jnp.argmin(tm, axis=1).astype(jnp.int32).reshape(1, W)
             better = lt < best
-            best = jnp.where(better, lt, best)
-            bid = jnp.where(better, leaf * K + lj, bid)
+            newb = jnp.where(better, lt, best)
+            vbest[0, :] = newb[0]
+            vbid[0, :] = jnp.where(better, leaf * K + lj,
+                                   vbid[0, :].reshape(1, W))[0]
             if any_hit:
-                occ_or_dead = (best < _BIGF) | (tmax_r < tmin_r)
+                occ_or_dead = (newb < _BIGF) | (tmax_r < tmin_r)
                 sp = jnp.where(jnp.all(occ_or_dead), 0, sp)
-            return (sp, best, bid, nv, lv + 1)
+            return (sp, nv, lv + 1)
 
         def visit(state):
             return jax.lax.cond(node >= 0, do_internal, do_leaf, state)
 
-        return jax.lax.cond(live, visit,
-                            lambda s: (sp, s[1], s[2], s[3], s[4]), state)
+        return jax.lax.cond(live, visit, lambda s: s, state)
 
-    _, best, bid, nv, lv = jax.lax.while_loop(
-        lambda s: s[0] > 0, body, state0)
+    _, nv, lv = jax.lax.while_loop(lambda s: s[0] > 0, body, state0)
     # single end-of-walk store; outputs are (1, 8, W) blocks (Mosaic
     # wants >=8 sublanes), so broadcast the row across sublanes
-    out_t_ref[0] = jnp.broadcast_to(best, (8, W))
-    out_id_ref[0] = jnp.broadcast_to(bid, (8, W))
+    out_t_ref[0] = jnp.broadcast_to(vbest[0, :].reshape(1, W), (8, W))
+    out_id_ref[0] = jnp.broadcast_to(vbid[0, :].reshape(1, W), (8, W))
     if with_stats:
         out_nv_ref[0] = jnp.broadcast_to(nv.reshape(1, 1), (8, W))
         out_lv_ref[0] = jnp.broadcast_to(lv.reshape(1, 1), (8, W))
@@ -451,8 +454,8 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
                                      any_hit: bool = False,
                                      interpret: bool | None = None,
                                      with_stats: bool = False,
-                                     wide: bool = True,
-                                     gsub: int | None = None):  # noqa: E501 — default flipped after TPU A/B below
+                                     wide: bool | None = None,
+                                     gsub: int | None = None):
     """Closest hit (or first-hit occlusion) of N rays against the
     VMEM-resident BVH. prim_id indexes the Morton-ordered pack.
 
@@ -466,8 +469,14 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
         (accel, o, d, tmin, tmax))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if wide is None:
+        # TPU A/B (bunny1 512^2, bvh4): closest-hit wants NARROW tiles
+        # (private 128-ray walks, 17.9 vs 26.4 ms — wasted leaf tests
+        # dominate); any-hit wants one WIDE 512-ray walk (7.6 vs 25 ms
+        # — the whole walk stops at first full occlusion)
+        wide = any_hit
     if gsub is None:
-        gsub = GSUB
+        gsub = 4 if (wide and any_hit) else GSUB
     if not wide:
         gsub = GSUB          # narrow kernel is hard-wired to 8 subtiles
     n = o.shape[0]
@@ -494,23 +503,22 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
     # (host-side jnp.stack staging measured ~12 ms/step in the profile)
     r8 = jnp.concatenate(
         [o_p, rcp_p, tmin_p[:, None], tmax_p[:, None]],
-        axis=1).reshape(ng, GSUB, T, 8)
+        axis=1).reshape(ng, gsub, T, 8)
     ones = jnp.ones((n_pad, 1), jnp.float32)
     zeros = jnp.zeros((n_pad, 4), jnp.float32)
     rmat = jnp.concatenate(
         [d_p, m_p, o_p, ones, tmin_p[:, None], tmax_p[:, None], zeros],
-        axis=1).reshape(ng, GSUB, T, 16)
+        axis=1).reshape(ng, gsub, T, 16)
 
     is4 = isinstance(accel, PallasBVH4)
     if is4:
-        wide = True
-        kern_fn = _traverse4_kernel_wide
+        kern_fn = _traverse4_kernel_wide if wide else _traverse4_kernel
     else:
         kern_fn = _traverse_kernel_wide if wide else _traverse_kernel
     kern = functools.partial(kern_fn, any_hit=any_hit,
                              with_stats=with_stats)
     s = accel.stack_depth
-    WT = GSUB * T
+    WT = gsub * T
     if wide:
         # wide layouts: one (WT, 8)/(WT, 16) ray block and flat (WT,)
         # outputs per program — no in-kernel reshapes (a (GSUB,T,8) ->
@@ -559,7 +567,12 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
         scratch_shapes=[
             pltpu.SMEM((s,), jnp.int32),
             pltpu.SMEM((s,), jnp.float32),
-        ],
+        ] + ([
+            # wide kernels keep the running best-hit row in VMEM
+            # scratch, updated in place by the leaf branch
+            pltpu.VMEM((1, WT), jnp.float32),
+            pltpu.VMEM((1, WT), jnp.int32),
+        ] if wide else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
@@ -678,7 +691,7 @@ def build_pallas_bvh_forest(pack: TrianglePack,
             rows(pack.t0, idx), rows(pack.t1, idx), rows(pack.t2, idx),
             rows(pack.has_uv, idx), rows(pack.material_id, idx),
             np.ones(idx.shape[0], bool))
-        sub_pack, accel = build_pallas_bvh_sah(sub)
+        sub_pack, accel = build_pallas_bvh4_sah(sub)
         chunk_packs.append(sub_pack)
         accels.append(accel)
         starts.append(row0)
@@ -880,9 +893,9 @@ def _traverse4_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
     """4-wide variant of _traverse_kernel_wide (one shared stack per
     grid program; 4 child boxes per internal visit)."""
     if with_stats:
-        out_nv_ref, out_lv_ref, stack_i, stack_t = rest
+        out_nv_ref, out_lv_ref, stack_i, stack_t, vbest, vbid = rest
     else:
-        stack_i, stack_t = rest
+        stack_i, stack_t, vbest, vbid = rest
 
     W = r8_ref.shape[1]
     rc = r8_ref[0]
@@ -900,15 +913,17 @@ def _traverse4_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
     stack_i[0] = 0
     stack_t[0] = 0.0
     sp0 = jnp.where(jnp.any(tmax_r >= tmin_r), 1, 0)
-    state0 = (sp0, jnp.full((1, W), _BIGF, jnp.float32),
-              jnp.zeros((1, W), jnp.int32), jnp.int32(0), jnp.int32(0))
+    vbest[0, :] = jnp.full((W,), _BIGF, jnp.float32)
+    vbid[0, :] = jnp.zeros((W,), jnp.int32)
+    state0 = (sp0, jnp.int32(0), jnp.int32(0))
 
     def body(state):
-        sp, best, bid, nv, lv = state
+        sp, nv, lv = state
         sp = sp - 1
         node = stack_i[sp]
         ten = stack_t[sp]
-        state = (sp, best, bid, nv, lv)      # re-pack the popped sp
+        state = (sp, nv, lv)                 # re-pack the popped sp
+        best = vbest[0, :].reshape(1, W)
         if any_hit:
             curmax = jnp.where(best < _BIGF, -1.0, tmax_r)
         else:
@@ -916,7 +931,7 @@ def _traverse4_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
         live = ten <= jnp.max(curmax)
 
         def do_internal(state):
-            sp, best, bid, nv, lv = state
+            sp, nv, lv = state
             cb = cbox_ref[node, :].reshape(32, 1)
             cb24 = jnp.broadcast_to(cb[0:24], (24, W))
             t_all = (cb24 - ob24) * rcp24
@@ -955,10 +970,10 @@ def _traverse4_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                 stack_i[sp] = l_i
                 stack_t[sp] = k_i
                 sp = sp + jnp.where(k_i > -jnp.inf, 1, 0)
-            return (sp, best, bid, nv + 1, lv)
+            return (sp, nv + 1, lv)
 
         def do_leaf(state):
-            sp, best, bid, nv, lv = state
+            sp, nv, lv = state
             leaf = -node - 1
             w = leafW_ref[leaf]
             nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
@@ -985,23 +1000,176 @@ def _traverse4_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             lt = jnp.min(tm, axis=1).reshape(1, W)
             lj = jnp.argmin(tm, axis=1).astype(jnp.int32).reshape(1, W)
             better = lt < best
-            best = jnp.where(better, lt, best)
-            bid = jnp.where(better, leaf * K + lj, bid)
+            newb = jnp.where(better, lt, best)
+            vbest[0, :] = newb[0]
+            vbid[0, :] = jnp.where(better, leaf * K + lj,
+                                   vbid[0, :].reshape(1, W))[0]
             if any_hit:
-                occ_or_dead = (best < _BIGF) | (tmax_r < tmin_r)
+                occ_or_dead = (newb < _BIGF) | (tmax_r < tmin_r)
                 sp = jnp.where(jnp.all(occ_or_dead), 0, sp)
-            return (sp, best, bid, nv, lv + 1)
+            return (sp, nv, lv + 1)
 
         def visit(state):
             return jax.lax.cond(node >= 0, do_internal, do_leaf, state)
 
-        return jax.lax.cond(live, visit,
-                            lambda s: (sp, s[1], s[2], s[3], s[4]), state)
+        return jax.lax.cond(live, visit, lambda s: s, state)
 
-    _, best, bid, nv, lv = jax.lax.while_loop(
-        lambda s: s[0] > 0, body, state0)
-    out_t_ref[0] = jnp.broadcast_to(best, (8, W))
-    out_id_ref[0] = jnp.broadcast_to(bid, (8, W))
+    _, nv, lv = jax.lax.while_loop(lambda s: s[0] > 0, body, state0)
+    out_t_ref[0] = jnp.broadcast_to(vbest[0, :].reshape(1, W), (8, W))
+    out_id_ref[0] = jnp.broadcast_to(vbid[0, :].reshape(1, W), (8, W))
     if with_stats:
         out_nv_ref[0] = jnp.broadcast_to(nv.reshape(1, 1), (8, W))
         out_lv_ref[0] = jnp.broadcast_to(lv.reshape(1, 1), (8, W))
+
+
+def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, leafW_ref,
+                      out_t_ref, out_id_ref, *rest,
+                      any_hit: bool, with_stats: bool):
+    """Narrow 4-wide variant: each 128-ray sub-tile walks the BVH4 with
+    a private stack (the narrow/wide trade measured on TPU: narrow
+    tiles do ~8x fewer wasted leaf tests; wide tiles amortize scalar
+    visit overhead — with 4-wide nodes the visit count halves, tipping
+    the balance back to narrow)."""
+    if with_stats:
+        out_nv_ref, out_lv_ref, stack_i, stack_t = rest
+        stats_refs = (out_nv_ref, out_lv_ref)
+    else:
+        stack_i, stack_t = rest
+        stats_refs = None
+
+    def sub_tile(t_idx, _):
+        _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
+                       out_t_ref, out_id_ref, stack_i, stack_t,
+                       t_idx, any_hit=any_hit, stats_refs=stats_refs)
+        return 0
+
+    jax.lax.fori_loop(0, GSUB, sub_tile, 0)
+
+
+def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
+                   out_t_ref, out_id_ref, stack_i, stack_t, t_idx,
+                   *, any_hit: bool, stats_refs=None):
+    rc = r8_ref[0, t_idx]                # (T, 8)
+    r8 = jnp.transpose(rc)               # (8, T)
+    rmat = rmat_ref[0, t_idx]            # (T, 16)
+    o3 = r8[0:3, :]
+    rcp3 = r8[3:6, :]
+    tmin_r = r8[6:7, :]
+    tmax_r = r8[7:8, :]
+    ob24 = jnp.concatenate([o3] * 8, axis=0)          # (24, T)
+    rcp24 = jnp.concatenate([rcp3] * 8, axis=0)
+    tmin_c = rmat[:, 10:11]
+    tmax_c = rmat[:, 11:12]
+
+    out_t_ref[0, t_idx, :] = jnp.full((T,), _BIGF, jnp.float32)
+    out_id_ref[0, t_idx, :] = jnp.zeros((T,), jnp.int32)
+    if stats_refs is not None:
+        stats_refs[0][0, t_idx, :] = jnp.zeros((T,), jnp.int32)
+        stats_refs[1][0, t_idx, :] = jnp.zeros((T,), jnp.int32)
+    stack_i[0] = 0
+    stack_t[0] = 0.0
+    sp0 = jnp.where(jnp.any(tmax_r >= tmin_r), 1, 0)
+
+    def body(sp):
+        sp = sp - 1
+        node = stack_i[sp]
+        ten = stack_t[sp]
+        best = out_t_ref[0, t_idx, :].reshape(1, T)
+        if any_hit:
+            curmax = jnp.where(best < _BIGF, -1.0, tmax_r)
+        else:
+            curmax = jnp.minimum(tmax_r, best)
+        live = ten <= jnp.max(curmax)
+
+        def do_internal(sp):
+            if stats_refs is not None:
+                stats_refs[0][0, t_idx, :] = stats_refs[0][0, t_idx, :] + 1
+            cb = cbox_ref[node, :].reshape(32, 1)
+            cb24 = jnp.broadcast_to(cb[0:24], (24, T))
+            t_all = (cb24 - ob24) * rcp24
+            lo_t = jnp.where(jnp.isnan(t_all), -jnp.inf, t_all)
+            hi_t = jnp.where(jnp.isnan(t_all), jnp.inf, t_all)
+            keys = []
+            for i in range(4):
+                tn = jnp.minimum(lo_t[6 * i:6 * i + 3],
+                                 lo_t[6 * i + 3:6 * i + 6])
+                tf = jnp.maximum(hi_t[6 * i:6 * i + 3],
+                                 hi_t[6 * i + 3:6 * i + 6])
+                ent = jnp.maximum(jnp.max(tn, axis=0, keepdims=True),
+                                  tmin_r)
+                ext = jnp.minimum(jnp.min(tf, axis=0, keepdims=True),
+                                  curmax)
+                ok = ent <= ext
+                t_i = jnp.min(jnp.where(ok, ent, jnp.inf))
+                k_i = jnp.where(jnp.any(ok), t_i, -jnp.inf)
+                l_i = cbox_ref[node, 24 + i].astype(jnp.int32)
+                keys.append((k_i, l_i))
+
+            def cswap(a, b):
+                sw = a[0] < b[0]
+                hi = (jnp.where(sw, b[0], a[0]), jnp.where(sw, b[1], a[1]))
+                lo = (jnp.where(sw, a[0], b[0]), jnp.where(sw, a[1], b[1]))
+                return hi, lo
+
+            keys[0], keys[1] = cswap(keys[0], keys[1])
+            keys[2], keys[3] = cswap(keys[2], keys[3])
+            keys[0], keys[2] = cswap(keys[0], keys[2])
+            keys[1], keys[3] = cswap(keys[1], keys[3])
+            keys[1], keys[2] = cswap(keys[1], keys[2])
+
+            for k_i, l_i in keys:
+                stack_i[sp] = l_i
+                stack_t[sp] = k_i
+                sp = sp + jnp.where(k_i > -jnp.inf, 1, 0)
+            return sp
+
+        def do_leaf(sp):
+            if stats_refs is not None:
+                stats_refs[1][0, t_idx, :] = stats_refs[1][0, t_idx, :] + 1
+            leaf = -node - 1
+            w = leafW_ref[leaf]                            # (16, 128)
+            nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # (T, 128)
+            b_n = nums[:, 0:K]
+            g_n = nums[:, K:2 * K]
+            den = nums[:, 2 * K:3 * K]
+            t_n = nums[:, 3 * K:4 * K]
+            safe = jnp.where(jnp.abs(den) < _DEN_TINY, 1.0, den)
+            inv = 1.0 / safe
+            beta = b_n * inv
+            gamma = g_n * inv
+            tt = t_n * inv
+            if any_hit:
+                curmax_c = jnp.where(
+                    out_t_ref[0, t_idx, :].reshape(T, 1) < _BIGF,
+                    -1.0, tmax_c)
+            else:
+                curmax_c = jnp.minimum(tmax_c,
+                                       out_t_ref[0, t_idx, :].reshape(T, 1))
+            ok = ((beta >= -EPSILON) & (gamma >= -EPSILON)
+                  & (beta + gamma <= 1.0 + EPSILON)
+                  & (tt >= tmin_c) & (tt <= curmax_c)
+                  & (jnp.abs(den) >= _DEN_TINY))
+            tm = jnp.where(ok, tt, _BIGF)
+            lt = jnp.min(tm, axis=1, keepdims=True)        # (T, 1)
+            lj = jnp.argmin(tm, axis=1).astype(jnp.int32).reshape(T, 1)
+            lt_r = lt.reshape(1, T)
+            lj_r = lj.reshape(1, T)
+            best_r = out_t_ref[0, t_idx, :].reshape(1, T)
+            better = lt_r < best_r
+            out_t_ref[0, t_idx, :] = jnp.where(better, lt_r, best_r)[0]
+            old_id = out_id_ref[0, t_idx, :].reshape(1, T)
+            out_id_ref[0, t_idx, :] = jnp.where(better, leaf * K + lj_r,
+                                                old_id)[0]
+            if any_hit:
+                occ_or_dead = ((out_t_ref[0, t_idx, :].reshape(1, T)
+                                < _BIGF) | (tmax_r < tmin_r))
+                sp = jnp.where(jnp.all(occ_or_dead), 0, sp)
+            return sp
+
+        def visit(sp):
+            return jax.lax.cond(node >= 0, do_internal, do_leaf, sp)
+
+        return jax.lax.cond(live, visit, lambda s: s, sp)
+
+    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
