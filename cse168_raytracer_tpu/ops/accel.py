@@ -143,13 +143,18 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
       "packet" — tile-packet BVH walk (ops/packet.py): shared per-tile
                  stack, MXU leaf packets;
       "pallas_sah" — Pallas traversal kernel over a native binned-SAH
-                 tree (ops/pallas_bvh.py + csrc/bvh_builder.cpp): the
-                 fast default on TPU (measured 24.5 M closest-hit
-                 rays/s on bunny1 at 512^2 vs 6 M for "block");
+                 binary tree (ops/pallas_bvh.py + csrc/bvh_builder.cpp);
+      "pallas_sah4" — same tree collapsed to 4-wide nodes: the fast
+                 default on TPU (14.6 M closest-hit rays/s on bunny1
+                 512^2 vs 10.8 M for the binary tree, same chip);
+      "pallas_forest" — Morton-partitioned forest of 4-wide sub-trees
+                 for scenes past the ~380k-tri VMEM cap (chunk_tris=N
+                 to override the chunk size);
       "pallas" — legacy VMEM-resident block kernel
                  (ops/pallas_intersect.py);
-      "auto"   — pallas_sah on TPU, block elsewhere (the Pallas kernel
-                 only runs interpreted off-TPU, far too slow).
+      "auto"   — pallas_sah4 (or pallas_forest) on TPU, block elsewhere
+                 (the Pallas kernels only run interpreted off-TPU, far
+                 too slow).
     Extra kwargs (leaf_size, tile) forward to the builder.
     Returns the updated Scene.
     """
@@ -163,17 +168,24 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
         if jax.default_backend() != "tpu":
             kind = "block"
         else:
-            # 4-wide collapsed tree wins the TPU A/B (see pallas_bvh)
-            kind = "pallas_sah4" if n_tris <= 380_000 else "pallas_forest"
+            # 4-wide collapsed tree wins the TPU A/B (see pallas_bvh).
+            # SAH leaves run ~50-70% full, so the VMEM fit is only
+            # known post-build; pallas_sah4 falls through to the
+            # forest below when its leaf table is too big.
+            kind = "pallas_sah4" if n_tris <= 300_000 else "pallas_forest"
     if kind == "pallas_sah":
         # the SAH builder defines its own triangle order (leaf blocks)
         from cse168_raytracer_tpu.ops.pallas_bvh import build_pallas_bvh_sah
         new_pack, accel = build_pallas_bvh_sah(scene.tris)
         return scene.replace(tris=new_pack, accel=accel)
     if kind == "pallas_sah4":
-        from cse168_raytracer_tpu.ops.pallas_bvh import build_pallas_bvh4_sah
+        from cse168_raytracer_tpu.ops.pallas_bvh import (
+            MAX_LEAVES_PER_CHUNK, build_pallas_bvh4_sah)
         new_pack, accel = build_pallas_bvh4_sah(scene.tris)
-        return scene.replace(tris=new_pack, accel=accel)
+        if accel.n_leaves > MAX_LEAVES_PER_CHUNK:
+            kind = "pallas_forest"      # leaf table exceeds VMEM budget
+        else:
+            return scene.replace(tris=new_pack, accel=accel)
     if kind == "pallas_forest":
         from cse168_raytracer_tpu.ops.pallas_bvh import \
             build_pallas_bvh_forest

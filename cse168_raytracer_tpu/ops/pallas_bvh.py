@@ -63,6 +63,23 @@ GSUB = 8        # tiles per grid program (Mosaic wants >=8-sublane blocks)
 _BIGF = 3.0e37  # python-float mirror of intersect._BIG (kernels cannot
                 # capture traced constants)
 
+# kernel experiment knobs (set before building jits; used for TPU A/Bs)
+import os as _os
+_LEAF_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("CSE168_LEAF_PRECISION", "highest")]
+# 4-wide push policy: "1" = far-to-near sorted (ordered descent),
+# "0" = unsorted pushes (slot order), "2" = unsorted AND no per-slot
+# entry-t (no stack_t pruning at all — 4 fewer cross-lane reductions).
+# TPU A/B (bunny1 512^2, narrow bvh4): mode 2 wins closest-hit 14.1 vs
+# 16.1 ms and shadow any-hit 15.9 vs 17.6 — on 128-ray tiles the
+# sort + per-slot min-reductions cost more than the visits that
+# ordered descent and entry pruning save.
+_ORD4_MODE = _os.environ.get("CSE168_ORDERED4", "2")
+_ORDERED4 = _ORD4_MODE == "1"
+
 
 class PallasBVH(NamedTuple):
     cbox: jax.Array    # (Nn, 16) f32 [loL hiL loR hiR childL childR pad2]
@@ -251,7 +268,7 @@ def _traverse_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             leaf = -node - 1                               # link = ~leaf
             w = leafW_ref[leaf]                            # (16, 128)
             nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)  # (T, 128)
+                           precision=_LEAF_PRECISION)  # (T, 128)
             b_n = nums[:, 0:K]
             g_n = nums[:, K:2 * K]
             den = nums[:, 2 * K:3 * K]
@@ -402,7 +419,7 @@ def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             leaf = -node - 1
             w = leafW_ref[leaf]                            # (16, 128)
             nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)  # (W, 128)
+                           precision=_LEAF_PRECISION)  # (W, 128)
             b_n = nums[:, 0:K]
             g_n = nums[:, K:2 * K]
             den = nums[:, 2 * K:3 * K]
@@ -470,11 +487,13 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if wide is None:
-        # TPU A/B (bunny1 512^2, bvh4): closest-hit wants NARROW tiles
-        # (private 128-ray walks, 17.9 vs 26.4 ms — wasted leaf tests
-        # dominate); any-hit wants one WIDE 512-ray walk (7.6 vs 25 ms
-        # — the whole walk stops at first full occlusion)
-        wide = any_hit
+        # TPU A/B (bunny1 512^2, bvh4): NARROW per-128-ray walks win
+        # both modes on real workloads — closest-hit 17.9 vs 26.4 ms
+        # (wasted per-tile leaf tests dominate at width) and REAL
+        # shadow rays (1.4% occluded, no early-out help) 17.4 vs 27.5.
+        # Wide-512 only wins any-hit when most rays occlude quickly
+        # (camera-ray test: 7.6 ms) — not the shadow distribution.
+        wide = False
     if gsub is None:
         gsub = 4 if (wide and any_hit) else GSUB
     if not wide:
@@ -658,12 +677,20 @@ jax.tree_util.register_pytree_node(PallasBVHForest, _forest_flatten,
                                    _forest_unflatten)
 
 
+# VMEM budget for one chunk's leaf table: 8 KB per 32-tri leaf against
+# the 120 MB compiler limit, leaving room for rays/outputs/cbox
+MAX_LEAVES_PER_CHUNK = 10_240          # 80 MB of leafW
+
+
 def build_pallas_bvh_forest(pack: TrianglePack,
-                            chunk_tris: int = 327_680):
-    """Split `pack` into Morton-contiguous chunks of <= chunk_tris
-    valid triangles, SAH-build each, and concatenate the leaf-ordered
-    chunk packs into one scene pack (chunk c's prim ids live at rows
-    [starts[c], starts[c] + 32 * n_leaves_c)).
+                            chunk_tris: int = 262_144):
+    """Split `pack` into Morton-contiguous chunks, SAH-build each, and
+    concatenate the leaf-ordered chunk packs into one scene pack
+    (chunk c's prim ids live at rows [starts[c], ...)).
+
+    SAH leaves run ~50-70% full, so a chunk's VMEM footprint is only
+    known after its build: chunks whose tree exceeds
+    MAX_LEAVES_PER_CHUNK leaves are bisected and rebuilt.
 
     Returns (new_pack, PallasBVHForest).
     """
@@ -681,10 +708,7 @@ def build_pallas_bvh_forest(pack: TrianglePack,
     def rows(a, idx):
         return np.asarray(a)[idx]
 
-    chunk_packs, accels, starts = [], [], []
-    row0 = 0
-    for c in range(n_chunks):
-        idx = perm[c * per:(c + 1) * per]
+    def build_chunk(idx):
         sub = build_pack_from_arrays(
             rows(pack.v0, idx), rows(pack.e1, idx), rows(pack.e2, idx),
             rows(pack.n0, idx), rows(pack.n1, idx), rows(pack.n2, idx),
@@ -692,10 +716,19 @@ def build_pallas_bvh_forest(pack: TrianglePack,
             rows(pack.has_uv, idx), rows(pack.material_id, idx),
             np.ones(idx.shape[0], bool))
         sub_pack, accel = build_pallas_bvh4_sah(sub)
-        chunk_packs.append(sub_pack)
-        accels.append(accel)
-        starts.append(row0)
-        row0 += sub_pack.v0.shape[0]
+        if accel.n_leaves > MAX_LEAVES_PER_CHUNK and idx.shape[0] > K:
+            mid = idx.shape[0] // 2
+            return build_chunk(idx[:mid]) + build_chunk(idx[mid:])
+        return [(sub_pack, accel)]
+
+    chunk_packs, accels, starts = [], [], []
+    row0 = 0
+    for c in range(n_chunks):
+        for sub_pack, accel in build_chunk(perm[c * per:(c + 1) * per]):
+            chunk_packs.append(sub_pack)
+            accels.append(accel)
+            starts.append(row0)
+            row0 += sub_pack.v0.shape[0]
 
     cat = lambda f: np.concatenate([np.asarray(f(p)) for p in chunk_packs])
     new_pack = build_pack_from_arrays(
@@ -977,7 +1010,7 @@ def _traverse4_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             leaf = -node - 1
             w = leafW_ref[leaf]
             nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_LEAF_PRECISION)
             b_n = nums[:, 0:K]
             g_n = nums[:, K:2 * K]
             den = nums[:, 2 * K:3 * K]
@@ -1100,27 +1133,40 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                 ext = jnp.minimum(jnp.min(tf, axis=0, keepdims=True),
                                   curmax)
                 ok = ent <= ext
-                t_i = jnp.min(jnp.where(ok, ent, jnp.inf))
-                k_i = jnp.where(jnp.any(ok), t_i, -jnp.inf)
                 l_i = cbox_ref[node, 24 + i].astype(jnp.int32)
-                keys.append((k_i, l_i))
+                if _ORD4_MODE == "2":
+                    # hit/miss only: no per-slot entry t, no pruning key
+                    keys.append((jnp.any(ok), l_i))
+                else:
+                    t_i = jnp.min(jnp.where(ok, ent, jnp.inf))
+                    k_i = jnp.where(jnp.any(ok), t_i, -jnp.inf)
+                    keys.append((k_i, l_i))
 
-            def cswap(a, b):
-                sw = a[0] < b[0]
-                hi = (jnp.where(sw, b[0], a[0]), jnp.where(sw, b[1], a[1]))
-                lo = (jnp.where(sw, a[0], b[0]), jnp.where(sw, a[1], b[1]))
-                return hi, lo
+            if _ORDERED4:
+                def cswap(a, b):
+                    sw = a[0] < b[0]
+                    hi = (jnp.where(sw, b[0], a[0]),
+                          jnp.where(sw, b[1], a[1]))
+                    lo = (jnp.where(sw, a[0], b[0]),
+                          jnp.where(sw, a[1], b[1]))
+                    return hi, lo
 
-            keys[0], keys[1] = cswap(keys[0], keys[1])
-            keys[2], keys[3] = cswap(keys[2], keys[3])
-            keys[0], keys[2] = cswap(keys[0], keys[2])
-            keys[1], keys[3] = cswap(keys[1], keys[3])
-            keys[1], keys[2] = cswap(keys[1], keys[2])
+                keys[0], keys[1] = cswap(keys[0], keys[1])
+                keys[2], keys[3] = cswap(keys[2], keys[3])
+                keys[0], keys[2] = cswap(keys[0], keys[2])
+                keys[1], keys[3] = cswap(keys[1], keys[3])
+                keys[1], keys[2] = cswap(keys[1], keys[2])
 
-            for k_i, l_i in keys:
-                stack_i[sp] = l_i
-                stack_t[sp] = k_i
-                sp = sp + jnp.where(k_i > -jnp.inf, 1, 0)
+            if _ORD4_MODE == "2":
+                for h_i, l_i in keys:
+                    stack_i[sp] = l_i
+                    stack_t[sp] = 0.0
+                    sp = sp + jnp.where(h_i, 1, 0)
+            else:
+                for k_i, l_i in keys:
+                    stack_i[sp] = l_i
+                    stack_t[sp] = k_i
+                    sp = sp + jnp.where(k_i > -jnp.inf, 1, 0)
             return sp
 
         def do_leaf(sp):
@@ -1129,7 +1175,7 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             leaf = -node - 1
             w = leafW_ref[leaf]                            # (16, 128)
             nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)  # (T, 128)
+                           precision=_LEAF_PRECISION)  # (T, 128)
             b_n = nums[:, 0:K]
             g_n = nums[:, K:2 * K]
             den = nums[:, 2 * K:3 * K]
