@@ -24,6 +24,17 @@ import jax.numpy as jnp
 ONEHOT_MAX_ROWS = 256
 
 
+def select_component(arr: jax.Array, idx: jax.Array) -> jax.Array:
+    """arr[i, idx[i]] for arr (N, C) with C small (2-4) and idx (N,) in
+    [0, C): a chain of jnp.where on the VPU. take_along_axis lowers to
+    the same ~10 ns/row serial gather as table[ids] — measured 2.6 ms
+    per 262k-row call on v5e, vs ~0.05 ms for the where chain."""
+    out = arr[:, 0]
+    for c in range(1, arr.shape[1]):
+        out = jnp.where(idx == c, arr[:, c], out)
+    return out
+
+
 def take_rows(table: jax.Array, ids: jax.Array) -> jax.Array:
     """table[ids] for 1-D or 2-D `table` and integer `ids` of any
     shape. One-hot matmul for small tables, plain gather otherwise."""

@@ -58,7 +58,13 @@ from cse168_raytracer_tpu.ops.intersect import (_BIG, _DEN_TINY, PRIM_NONE,
                                                 PRIM_TRI, Hit)
 
 K = 32          # triangles per leaf (128 output lanes / 4 planar groups)
-T = 128         # rays per tile (one VREG row)
+import os as _os_t
+# rays per subtile walk. TPU A/B on bunny1 512^2 (closest / shadow ms):
+# 128: 9.2/12.1   256: 6.7/8.0   512: 6.1/7.9   1024: 7.2/9.8
+# — wider tiles amortize the per-visit scalar overhead across more rays
+# until wasted leaf tests win; 256 ~ties 512 and keeps the VMEM ray
+# blocks half the size (matters next to the forest's 80 MB leaf tables)
+T = int(_os_t.environ.get("CSE168_TILE_T", "256"))
 GSUB = 8        # tiles per grid program (Mosaic wants >=8-sublane blocks)
 _BIGF = 3.0e37  # python-float mirror of intersect._BIG (kernels cannot
                 # capture traced constants)
@@ -832,7 +838,13 @@ jax.tree_util.register_pytree_node(PallasBVH4, _pb4_flatten, _pb4_unflatten)
 
 def _collapse_to_bvh4(nodes14: np.ndarray):
     """Collapse a binary child-box tree (sah.py layout) into 4-wide
-    nodes. Returns (cbox4 (N4, 32) f32, depth4)."""
+    nodes. Returns (cbox4 (N4, 32) f32, depth4).
+
+    Row layout is PLANE-GROUPED for the kernel's slot-parallel slab
+    test: cols [lo_x(slot0..3) lo_y(4) lo_z(4) | hi_x(4) hi_y(4)
+    hi_z(4) | link(4) | pad(4)] — so the kernel's (12, T) lo/hi plane
+    blocks slice into aligned (4, T) per-axis groups whose row i is
+    slot i, and all four slots reduce together."""
     n_bin = nodes14.shape[0]
     rows = []           # [24 box floats + 4 raw links (old ids / ~leaf)]
     new_id = {}         # old internal id -> new id (only collapsed roots)
@@ -861,29 +873,35 @@ def _collapse_to_bvh4(nodes14: np.ndarray):
         for i in range(4):
             if i < len(slots):
                 lo, hi, link = slots[i]
-                row[6 * i:6 * i + 3] = lo
-                row[6 * i + 3:6 * i + 6] = hi
+                for a in range(3):
+                    row[a * 4 + i] = lo[a]
+                    row[12 + a * 4 + i] = hi[a]
                 row[24 + i] = link
                 if link >= 0:
                     stack.append(link)
             else:
                 # empty slot: a DEGENERATE POINT at +infinity (lo == hi
-                # == _FAR, the 2-wide sentinel): ent == ext == 1e30 >
-                # curmax for every ray. An INVERTED box (hi < lo) would
-                # be wrong here — per-axis tn=min/tf=max of the two
-                # plane t's spans (-inf, inf) for straddling planes, so
-                # an inverted box ACCEPTS every ray and its 0 link
-                # would re-push the root forever.
-                row[6 * i:6 * i + 6] = _FAR
+                # == _FAR, the 2-wide sentinel): for any real ray the
+                # per-axis entry t's differ (or overflow to +inf on at
+                # most two axes), so ent > ext and the slot never
+                # pushes. An INVERTED box (hi < lo) would be wrong here
+                # — per-axis tn=min/tf=max of the two plane t's spans
+                # (-inf, inf) for straddling planes, so an inverted box
+                # ACCEPTS every ray and its 0 link would re-push the
+                # root forever.
+                for a in range(3):
+                    row[a * 4 + i] = _FAR
+                    row[12 + a * 4 + i] = _FAR
                 row[24 + i] = 0.0
         rows.append(row)
     cbox4 = np.zeros((len(rows), 32), np.float32)
     cbox4[:, :28] = np.stack(rows)
-    # remap internal links old->new
+    # remap internal links old->new (col i = slot i's lo_x: < _FAR
+    # means the slot is occupied)
     for j in range(len(rows)):
         for i in range(4):
             link = int(cbox4[j, 24 + i])
-            if cbox4[j, 6 * i] < _FAR and link >= 0:
+            if cbox4[j, i] < _FAR and link >= 0:
                 cbox4[j, 24 + i] = float(new_id[link])
     # depth of the collapsed tree (for stack sizing): BFS
     depth4 = 1
@@ -895,7 +913,7 @@ def _collapse_to_bvh4(nodes14: np.ndarray):
             seen.add(j)
             for i in range(4):
                 link = int(cbox4[j, 24 + i])
-                if cbox4[j, 6 * i] < _FAR and link >= 0 \
+                if cbox4[j, i] < _FAR and link >= 0 \
                         and link not in seen:
                     nxt.add(link)
         frontier = nxt
@@ -938,8 +956,8 @@ def _traverse4_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
     rcp3 = r8[3:6, :]
     tmin_r = r8[6:7, :]
     tmax_r = r8[7:8, :]
-    ob24 = jnp.concatenate([o3] * 8, axis=0)          # (24, W)
-    rcp24 = jnp.concatenate([rcp3] * 8, axis=0)
+    o12 = jnp.repeat(o3, 4, axis=0)      # (12, W) plane-grouped order
+    rcp12 = jnp.repeat(rcp3, 4, axis=0)
     tmin_c = rmat[:, 10:11]
     tmax_c = rmat[:, 11:12]
 
@@ -966,23 +984,29 @@ def _traverse4_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
         def do_internal(state):
             sp, nv, lv = state
             cb = cbox_ref[node, :].reshape(32, 1)
-            cb24 = jnp.broadcast_to(cb[0:24], (24, W))
-            t_all = (cb24 - ob24) * rcp24
-            lo_t = jnp.where(jnp.isnan(t_all), -jnp.inf, t_all)
-            hi_t = jnp.where(jnp.isnan(t_all), jnp.inf, t_all)
+            cbL = jnp.broadcast_to(cb[0:12], (12, W))
+            cbH = jnp.broadcast_to(cb[12:24], (12, W))
+            tA = (cbL - o12) * rcp12
+            tB = (cbH - o12) * rcp12
+            tnA = jnp.where(jnp.isnan(tA), -jnp.inf, tA)
+            tnB = jnp.where(jnp.isnan(tB), -jnp.inf, tB)
+            tfA = jnp.where(jnp.isnan(tA), jnp.inf, tA)
+            tfB = jnp.where(jnp.isnan(tB), jnp.inf, tB)
+            tn = jnp.minimum(tnA, tnB)
+            tf = jnp.maximum(tfA, tfB)
+            ent4 = jnp.maximum(
+                jnp.maximum(tn[0:4], tn[4:8]),
+                jnp.maximum(tn[8:12], jnp.broadcast_to(tmin_r, (4, W))))
+            ext4 = jnp.minimum(
+                jnp.minimum(tf[0:4], tf[4:8]),
+                jnp.minimum(tf[8:12], jnp.broadcast_to(curmax, (4, W))))
+            ok4 = ent4 <= ext4                       # (4, W)
+            entm = jnp.min(jnp.where(ok4, ent4, jnp.inf), axis=1,
+                           keepdims=True)            # (4, 1) slot entry
             keys = []
             for i in range(4):
-                tn = jnp.minimum(lo_t[6 * i:6 * i + 3],
-                                 lo_t[6 * i + 3:6 * i + 6])
-                tf = jnp.maximum(hi_t[6 * i:6 * i + 3],
-                                 hi_t[6 * i + 3:6 * i + 6])
-                ent = jnp.maximum(jnp.max(tn, axis=0, keepdims=True),
-                                  tmin_r)
-                ext = jnp.minimum(jnp.min(tf, axis=0, keepdims=True),
-                                  curmax)
-                ok = ent <= ext
-                t_i = jnp.min(jnp.where(ok, ent, jnp.inf))
-                k_i = jnp.where(jnp.any(ok), t_i, -jnp.inf)  # -inf = dead
+                k_i = jnp.where(entm[i, 0] < jnp.inf,
+                                entm[i, 0], -jnp.inf)  # -inf = dead
                 l_i = cbox_ref[node, 24 + i].astype(jnp.int32)
                 keys.append((k_i, l_i))
 
@@ -1082,17 +1106,39 @@ def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, leafW_ref,
 def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                    out_t_ref, out_id_ref, stack_i, stack_t, t_idx,
                    *, any_hit: bool, stats_refs=None):
+    """One 128-ray subtile walk, engineered for minimum per-visit
+    overhead (measured r03: 709 ns/visit — ~670 cycles for ~30 cycles
+    of vector math; the loop was all scalar sync and layout churn):
+
+      * outer `live` lax.cond REMOVED: with unsorted pushes every
+        stacked entry passed its slab test when pushed, and the any-hit
+        early-out is handled in the leaf branch — the check was a
+        cross-lane max + vector->scalar sync + branch per visit that
+        could never fire for closest-hit (best <= tmax always keeps
+        max(curmax) >= 0 = the pushed entry key).
+      * internal visit: plane-grouped cbox rows (see _collapse_to_bvh4)
+        slab-test ALL 4 slots as (4, T) rows in ~10 VPU ops; the four
+        hit bits leave the vector unit in ONE transfer (lane-reduce to
+        (4,1), weighted sum to a scalar bitmask) instead of four
+        jnp.any syncs; pushes decode the bitmask with scalar shifts.
+      * leaf visit: the Pluecker matmul is computed TRANSPOSED —
+        dot_general contracts leafW (16,128) with rmatT (16,T) on the
+        16-axis giving (128, T): planar groups land on sublane blocks
+        [0:K]=beta [K:2K]=gamma [2K:3K]=den [3K:4K]=t and rays stay on
+        LANES, so the best-t compare/update is pure lane math against
+        out_t's natural row layout. The old (T,16)@(16,128) layout put
+        rays on sublanes and paid two 128-wide lane<->sublane
+        transposes per leaf visit.
+    """
     rc = r8_ref[0, t_idx]                # (T, 8)
     r8 = jnp.transpose(rc)               # (8, T)
-    rmat = rmat_ref[0, t_idx]            # (T, 16)
+    rmatT = jnp.transpose(rmat_ref[0, t_idx])   # (16, T), once per walk
     o3 = r8[0:3, :]
     rcp3 = r8[3:6, :]
     tmin_r = r8[6:7, :]
     tmax_r = r8[7:8, :]
-    ob24 = jnp.concatenate([o3] * 8, axis=0)          # (24, T)
-    rcp24 = jnp.concatenate([rcp3] * 8, axis=0)
-    tmin_c = rmat[:, 10:11]
-    tmax_c = rmat[:, 11:12]
+    o12 = jnp.repeat(o3, 4, axis=0)      # (12, T) [x x x x y... z...]
+    rcp12 = jnp.repeat(rcp3, 4, axis=0)  # matches plane-grouped cbox
 
     out_t_ref[0, t_idx, :] = jnp.full((T,), _BIGF, jnp.float32)
     out_id_ref[0, t_idx, :] = jnp.zeros((T,), jnp.int32)
@@ -1100,73 +1146,50 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
         stats_refs[0][0, t_idx, :] = jnp.zeros((T,), jnp.int32)
         stats_refs[1][0, t_idx, :] = jnp.zeros((T,), jnp.int32)
     stack_i[0] = 0
-    stack_t[0] = 0.0
     sp0 = jnp.where(jnp.any(tmax_r >= tmin_r), 1, 0)
+    # [1, 2, 4, 8] bit weights (iota-built: kernels cannot capture
+    # jnp.array constants; tpu.iota must be integer -> shift then cast)
+    bitw = (1 << jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
+            ).astype(jnp.float32)
 
     def body(sp):
         sp = sp - 1
         node = stack_i[sp]
-        ten = stack_t[sp]
-        best = out_t_ref[0, t_idx, :].reshape(1, T)
-        if any_hit:
-            curmax = jnp.where(best < _BIGF, -1.0, tmax_r)
-        else:
-            curmax = jnp.minimum(tmax_r, best)
-        live = ten <= jnp.max(curmax)
 
         def do_internal(sp):
             if stats_refs is not None:
                 stats_refs[0][0, t_idx, :] = stats_refs[0][0, t_idx, :] + 1
-            cb = cbox_ref[node, :].reshape(32, 1)
-            cb24 = jnp.broadcast_to(cb[0:24], (24, T))
-            t_all = (cb24 - ob24) * rcp24
-            lo_t = jnp.where(jnp.isnan(t_all), -jnp.inf, t_all)
-            hi_t = jnp.where(jnp.isnan(t_all), jnp.inf, t_all)
-            keys = []
-            for i in range(4):
-                tn = jnp.minimum(lo_t[6 * i:6 * i + 3],
-                                 lo_t[6 * i + 3:6 * i + 6])
-                tf = jnp.maximum(hi_t[6 * i:6 * i + 3],
-                                 hi_t[6 * i + 3:6 * i + 6])
-                ent = jnp.maximum(jnp.max(tn, axis=0, keepdims=True),
-                                  tmin_r)
-                ext = jnp.minimum(jnp.min(tf, axis=0, keepdims=True),
-                                  curmax)
-                ok = ent <= ext
-                l_i = cbox_ref[node, 24 + i].astype(jnp.int32)
-                if _ORD4_MODE == "2":
-                    # hit/miss only: no per-slot entry t, no pruning key
-                    keys.append((jnp.any(ok), l_i))
-                else:
-                    t_i = jnp.min(jnp.where(ok, ent, jnp.inf))
-                    k_i = jnp.where(jnp.any(ok), t_i, -jnp.inf)
-                    keys.append((k_i, l_i))
-
-            if _ORDERED4:
-                def cswap(a, b):
-                    sw = a[0] < b[0]
-                    hi = (jnp.where(sw, b[0], a[0]),
-                          jnp.where(sw, b[1], a[1]))
-                    lo = (jnp.where(sw, a[0], b[0]),
-                          jnp.where(sw, a[1], b[1]))
-                    return hi, lo
-
-                keys[0], keys[1] = cswap(keys[0], keys[1])
-                keys[2], keys[3] = cswap(keys[2], keys[3])
-                keys[0], keys[2] = cswap(keys[0], keys[2])
-                keys[1], keys[3] = cswap(keys[1], keys[3])
-                keys[1], keys[2] = cswap(keys[1], keys[2])
-
-            if _ORD4_MODE == "2":
-                for h_i, l_i in keys:
-                    stack_i[sp] = l_i
-                    stack_t[sp] = 0.0
-                    sp = sp + jnp.where(h_i, 1, 0)
+            best = out_t_ref[0, t_idx, :].reshape(1, T)
+            if any_hit:
+                curmax = jnp.where(best < _BIGF, -1.0, tmax_r)
             else:
-                for k_i, l_i in keys:
-                    stack_i[sp] = l_i
-                    stack_t[sp] = k_i
-                    sp = sp + jnp.where(k_i > -jnp.inf, 1, 0)
+                curmax = jnp.minimum(tmax_r, best)
+            cb = cbox_ref[node, :].reshape(32, 1)
+            cbL = jnp.broadcast_to(cb[0:12], (12, T))
+            cbH = jnp.broadcast_to(cb[12:24], (12, T))
+            tA = (cbL - o12) * rcp12
+            tB = (cbH - o12) * rcp12
+            # 0*inf -> NaN: that axis must not constrain the interval
+            tnA = jnp.where(jnp.isnan(tA), -jnp.inf, tA)
+            tnB = jnp.where(jnp.isnan(tB), -jnp.inf, tB)
+            tfA = jnp.where(jnp.isnan(tA), jnp.inf, tA)
+            tfB = jnp.where(jnp.isnan(tB), jnp.inf, tB)
+            tn = jnp.minimum(tnA, tnB)          # (12, T)
+            tf = jnp.maximum(tfA, tfB)
+            # row i of each (4, T) axis-group is slot i
+            ent4 = jnp.maximum(
+                jnp.maximum(tn[0:4], tn[4:8]),
+                jnp.maximum(tn[8:12], jnp.broadcast_to(tmin_r, (4, T))))
+            ext4 = jnp.minimum(
+                jnp.minimum(tf[0:4], tf[4:8]),
+                jnp.minimum(tf[8:12], jnp.broadcast_to(curmax, (4, T))))
+            ok4 = (ent4 <= ext4).astype(jnp.float32)   # (4, T)
+            # ONE vector->scalar sync: per-slot any() as a bitmask
+            pres = jnp.max(ok4, axis=1, keepdims=True)  # (4, 1)
+            mask = jnp.sum(pres * bitw).astype(jnp.int32)
+            for i in range(4):
+                stack_i[sp] = cbox_ref[node, 24 + i].astype(jnp.int32)
+                sp = sp + ((mask >> i) & 1)
             return sp
 
         def do_leaf(sp):
@@ -1174,38 +1197,35 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                 stats_refs[1][0, t_idx, :] = stats_refs[1][0, t_idx, :] + 1
             leaf = -node - 1
             w = leafW_ref[leaf]                            # (16, 128)
-            nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
-                           precision=_LEAF_PRECISION)  # (T, 128)
-            b_n = nums[:, 0:K]
-            g_n = nums[:, K:2 * K]
-            den = nums[:, 2 * K:3 * K]
-            t_n = nums[:, 3 * K:4 * K]
+            nums = jax.lax.dot_general(
+                w, rmatT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_LEAF_PRECISION)                 # (128, T)
+            b_n = nums[0:K]                                # (K, T) each
+            g_n = nums[K:2 * K]
+            den = nums[2 * K:3 * K]
+            t_n = nums[3 * K:4 * K]
             safe = jnp.where(jnp.abs(den) < _DEN_TINY, 1.0, den)
             inv = 1.0 / safe
             beta = b_n * inv
             gamma = g_n * inv
             tt = t_n * inv
+            best = out_t_ref[0, t_idx, :].reshape(1, T)
             if any_hit:
-                curmax_c = jnp.where(
-                    out_t_ref[0, t_idx, :].reshape(T, 1) < _BIGF,
-                    -1.0, tmax_c)
+                curmax_c = jnp.where(best < _BIGF, -1.0, tmax_r)
             else:
-                curmax_c = jnp.minimum(tmax_c,
-                                       out_t_ref[0, t_idx, :].reshape(T, 1))
+                curmax_c = jnp.minimum(tmax_r, best)
             ok = ((beta >= -EPSILON) & (gamma >= -EPSILON)
                   & (beta + gamma <= 1.0 + EPSILON)
-                  & (tt >= tmin_c) & (tt <= curmax_c)
+                  & (tt >= tmin_r) & (tt <= curmax_c)
                   & (jnp.abs(den) >= _DEN_TINY))
             tm = jnp.where(ok, tt, _BIGF)
-            lt = jnp.min(tm, axis=1, keepdims=True)        # (T, 1)
-            lj = jnp.argmin(tm, axis=1).astype(jnp.int32).reshape(T, 1)
-            lt_r = lt.reshape(1, T)
-            lj_r = lj.reshape(1, T)
-            best_r = out_t_ref[0, t_idx, :].reshape(1, T)
-            better = lt_r < best_r
-            out_t_ref[0, t_idx, :] = jnp.where(better, lt_r, best_r)[0]
+            lt = jnp.min(tm, axis=0, keepdims=True)        # (1, T)
+            lj = jnp.argmin(tm, axis=0).astype(jnp.int32).reshape(1, T)
+            better = lt < best
+            out_t_ref[0, t_idx, :] = jnp.where(better, lt, best)[0]
             old_id = out_id_ref[0, t_idx, :].reshape(1, T)
-            out_id_ref[0, t_idx, :] = jnp.where(better, leaf * K + lj_r,
+            out_id_ref[0, t_idx, :] = jnp.where(better, leaf * K + lj,
                                                 old_id)[0]
             if any_hit:
                 occ_or_dead = ((out_t_ref[0, t_idx, :].reshape(1, T)
@@ -1213,9 +1233,6 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                 sp = jnp.where(jnp.all(occ_or_dead), 0, sp)
             return sp
 
-        def visit(sp):
-            return jax.lax.cond(node >= 0, do_internal, do_leaf, sp)
-
-        return jax.lax.cond(live, visit, lambda s: s, sp)
+        return jax.lax.cond(node >= 0, do_internal, do_leaf, sp)
 
     jax.lax.while_loop(lambda sp: sp > 0, body, sp0)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from cse168_raytracer_tpu.config import EPSILON
-from cse168_raytracer_tpu.core.fastgather import take_rows
+from cse168_raytracer_tpu.core.fastgather import select_component, take_rows
 from cse168_raytracer_tpu.core.vecmath import safe_normalize
 from cse168_raytracer_tpu.models.lights import nee_sample
 from cse168_raytracer_tpu.models.materials import SHININESS_INF, is_refractive
@@ -81,8 +81,8 @@ def apply_bump(scene: Scene, static: SceneStatic, surf: Surface):
     # largest-component axis m, build randomVec with -n[m] in a rotated
     # slot, t1 = cross(N, randomVec)
     m = jnp.where(n[:, 1] > n[:, 0], 1, 0)
-    m = jnp.where(n[:, 2] > jnp.take_along_axis(n, m[:, None], 1)[:, 0], 2, m)
-    nm = jnp.take_along_axis(n, m[:, None], 1)[:, 0]
+    m = jnp.where(n[:, 2] > select_component(n, m), 2, m)
+    nm = select_component(n, m)
     rand_vec = jnp.stack([jnp.where(m == 2, -nm, 0.0),
                           jnp.where(m == 0, -nm, 0.0),
                           jnp.where(m == 1, -nm, 0.0)], axis=-1)

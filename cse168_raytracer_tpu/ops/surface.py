@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from cse168_raytracer_tpu.config import PI
-from cse168_raytracer_tpu.core.fastgather import take_rows
+from cse168_raytracer_tpu.core.fastgather import select_component, take_rows
 from cse168_raytracer_tpu.core.vecmath import dotk, safe_normalize
 from cse168_raytracer_tpu.models.geometry import (PlanePool, SpherePool,
                                                   TrianglePack)
@@ -80,7 +80,10 @@ def _tri_surface(pack: TrianglePack, o, d, tri_id):
     j_idx = jnp.where((n_geo[:, 0] > n_geo[:, 2]),
                       1, jnp.where(n_geo[:, 1] > n_geo[:, 2], 2, 1))
     pv = p - v0
-    take = lambda arr, idx: jnp.take_along_axis(arr, idx[:, None], axis=1)[:, 0]
+    # component select by index: where-chain, NOT take_along_axis (which
+    # lowers to a ~2.6 ms serial gather per call at 262k rays; 6 calls
+    # here dominated the whole make_surface cost)
+    take = select_component
     p_i, p_j = take(pv, i_idx), take(pv, j_idx)
     b_i, b_j = take(e1, i_idx), take(e1, j_idx)
     c_i, c_j = take(e2, i_idx), take(e2, j_idx)
