@@ -69,22 +69,20 @@ GSUB = 8        # tiles per grid program (Mosaic wants >=8-sublane blocks)
 _BIGF = 3.0e37  # python-float mirror of intersect._BIG (kernels cannot
                 # capture traced constants)
 
-# kernel experiment knobs (set before building jits; used for TPU A/Bs)
+# leaf-matmul precision knob (set before import; used for TPU A/Bs —
+# HIGHEST won: golden parity at <=2/255 needs exact f32 Pluecker sums)
 import os as _os
-_LEAF_PRECISION = {
+_prec = _os.environ.get("CSE168_LEAF_PRECISION", "highest")
+_PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("CSE168_LEAF_PRECISION", "highest")]
-# 4-wide push policy: "1" = far-to-near sorted (ordered descent),
-# "0" = unsorted pushes (slot order), "2" = unsorted AND no per-slot
-# entry-t (no stack_t pruning at all — 4 fewer cross-lane reductions).
-# TPU A/B (bunny1 512^2, narrow bvh4): mode 2 wins closest-hit 14.1 vs
-# 16.1 ms and shadow any-hit 15.9 vs 17.6 — on 128-ray tiles the
-# sort + per-slot min-reductions cost more than the visits that
-# ordered descent and entry pruning save.
-_ORD4_MODE = _os.environ.get("CSE168_ORDERED4", "2")
-_ORDERED4 = _ORD4_MODE == "1"
+}
+if _prec not in _PRECISIONS:
+    raise ValueError(
+        f"CSE168_LEAF_PRECISION={_prec!r}: expected one of "
+        f"{sorted(_PRECISIONS)}")
+_LEAF_PRECISION = _PRECISIONS[_prec]
 
 
 class PallasBVH(NamedTuple):
@@ -186,17 +184,14 @@ def _traverse_kernel(r8_ref, rmat_ref, cbox_ref, leafW_ref,
 def _traverse_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                   out_t_ref, out_id_ref, stack_i, stack_t, t_idx,
                   *, any_hit: bool, stats_refs=None):
-    rc = r8_ref[0, t_idx]                # (T, 8) natural ray layout
-    r8 = jnp.transpose(rc)               # (8, T): one small in-VMEM
-    rmat = rmat_ref[0, t_idx]            # relayout beats host-side
-    o3 = r8[0:3, :]                      # stack+transpose staging
+    r8 = r8_ref[0, t_idx]                # (8, T): host-staged transposed
+    rmatT = rmat_ref[0, t_idx]           # (16, T)
+    o3 = r8[0:3, :]
     rcp3 = r8[3:6, :]
     tmin_r = r8[6:7, :]                  # (1, T)
     tmax_r = r8[7:8, :]
     ob12 = jnp.concatenate([o3, o3, o3, o3], axis=0)       # (12, T)
     rcp12 = jnp.concatenate([rcp3, rcp3, rcp3, rcp3], axis=0)
-    tmin_c = rmat[:, 10:11]              # (T, 1) for the leaf path
-    tmax_c = rmat[:, 11:12]
 
     out_t_ref[0, t_idx, :] = jnp.full((T,), _BIGF, jnp.float32)
     out_id_ref[0, t_idx, :] = jnp.zeros((T,), jnp.int32)
@@ -273,38 +268,38 @@ def _traverse_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                 stats_refs[1][0, t_idx, :] = stats_refs[1][0, t_idx, :] + 1
             leaf = -node - 1                               # link = ~leaf
             w = leafW_ref[leaf]                            # (16, 128)
-            nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
-                           precision=_LEAF_PRECISION)  # (T, 128)
-            b_n = nums[:, 0:K]
-            g_n = nums[:, K:2 * K]
-            den = nums[:, 2 * K:3 * K]
-            t_n = nums[:, 3 * K:4 * K]
+            # transposed contraction: planar groups on sublanes, rays
+            # stay on LANES (out_t's natural row layout — no per-leaf
+            # lane<->sublane transposes; see _traverse4_one)
+            nums = jax.lax.dot_general(
+                w, rmatT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_LEAF_PRECISION)                 # (128, T)
+            b_n = nums[0:K]
+            g_n = nums[K:2 * K]
+            den = nums[2 * K:3 * K]
+            t_n = nums[3 * K:4 * K]
             safe = jnp.where(jnp.abs(den) < _DEN_TINY, 1.0, den)
             inv = 1.0 / safe
             beta = b_n * inv
             gamma = g_n * inv
             tt = t_n * inv
+            best = out_t_ref[0, t_idx, :].reshape(1, T)
             if any_hit:
-                curmax_c = jnp.where(
-                    out_t_ref[0, t_idx, :].reshape(T, 1) < _BIGF,
-                    -1.0, tmax_c)
+                curmax_c = jnp.where(best < _BIGF, -1.0, tmax_r)
             else:
-                curmax_c = jnp.minimum(tmax_c,
-                                       out_t_ref[0, t_idx, :].reshape(T, 1))
+                curmax_c = jnp.minimum(tmax_r, best)
             ok = ((beta >= -EPSILON) & (gamma >= -EPSILON)
                   & (beta + gamma <= 1.0 + EPSILON)
-                  & (tt >= tmin_c) & (tt <= curmax_c)
+                  & (tt >= tmin_r) & (tt <= curmax_c)
                   & (jnp.abs(den) >= _DEN_TINY))
             tm = jnp.where(ok, tt, _BIGF)
-            lt = jnp.min(tm, axis=1, keepdims=True)        # (T, 1)
-            lj = jnp.argmin(tm, axis=1).astype(jnp.int32).reshape(T, 1)
-            lt_r = lt.reshape(1, T)
-            lj_r = lj.reshape(1, T)
-            best_r = out_t_ref[0, t_idx, :].reshape(1, T)
-            better = lt_r < best_r
-            out_t_ref[0, t_idx, :] = jnp.where(better, lt_r, best_r)[0]
+            lt = jnp.min(tm, axis=0, keepdims=True)        # (1, T)
+            lj = jnp.argmin(tm, axis=0).astype(jnp.int32).reshape(1, T)
+            better = lt < best
+            out_t_ref[0, t_idx, :] = jnp.where(better, lt, best)[0]
             old_id = out_id_ref[0, t_idx, :].reshape(1, T)
-            out_id_ref[0, t_idx, :] = jnp.where(better, leaf * K + lj_r,
+            out_id_ref[0, t_idx, :] = jnp.where(better, leaf * K + lj,
                                                 old_id)[0]
             if any_hit:
                 occ_or_dead = ((out_t_ref[0, t_idx, :].reshape(1, T)
@@ -320,196 +315,19 @@ def _traverse_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
     jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
 
 
-def _traverse_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
-                          out_t_ref, out_id_ref, *rest,
-                          any_hit: bool, with_stats: bool):
-    """Wide-tile variant: ONE traversal walk for all GSUB*T rays of the
-    grid program (one shared stack), instead of GSUB independent
-    128-ray walks.
-
-    Why: the per-node-visit overhead dominates (measured ~600 ns/visit
-    on bunny1 — scalar stack ops, lax.cond branches, loop bookkeeping —
-    vs ~100 ns of actual VPU slab math). A 1024-ray frontier visits the
-    UNION of the 8 subtiles' node sets (~2x one subtile's count for
-    coherent rays, not 8x), so iteration count per program drops ~4x
-    while the per-visit vector work grows to (12, 1024) — still cheap.
-    Extra per-ray box/tri tests are counted by the stats kernel and are
-    the price of tile width, paid on the MXU/VPU where flops are free.
-    """
-    if with_stats:
-        out_nv_ref, out_lv_ref, stack_i, stack_t, vbest, vbid = rest
-    else:
-        stack_i, stack_t, vbest, vbid = rest
-
-    W = r8_ref.shape[1]                  # rays per program (gsub * T)
-    rc = r8_ref[0]                       # (W, 8) wide host layout
-    r8 = jnp.transpose(rc)               # (8, W)
-    rmat = rmat_ref[0]                   # (W, 16)
-    o3 = r8[0:3, :]
-    rcp3 = r8[3:6, :]
-    tmin_r = r8[6:7, :]
-    tmax_r = r8[7:8, :]
-    ob12 = jnp.concatenate([o3, o3, o3, o3], axis=0)       # (12, W)
-    rcp12 = jnp.concatenate([rcp3, rcp3, rcp3, rcp3], axis=0)
-    tmin_c = rmat[:, 10:11]
-    tmax_c = rmat[:, 11:12]
-
-    stack_i[0] = 0
-    stack_t[0] = 0.0
-    sp0 = jnp.where(jnp.any(tmax_r >= tmin_r), 1, 0)
-
-    # best-hit state lives in VMEM scratch, updated IN PLACE by the
-    # leaf branch — carrying (1, W) vectors through the lax.conds costs
-    # a vector copy per visit per cond boundary (measured 4.3x slower)
-    vbest[0, :] = jnp.full((W,), _BIGF, jnp.float32)
-    vbid[0, :] = jnp.zeros((W,), jnp.int32)
-    state0 = (sp0, jnp.int32(0), jnp.int32(0))   # sp, node/leaf visits
-
-    def body(state):
-        sp, nv, lv = state
-        sp = sp - 1
-        node = stack_i[sp]
-        ten = stack_t[sp]
-        state = (sp, nv, lv)                 # re-pack the popped sp
-        best = vbest[0, :].reshape(1, W)
-        if any_hit:
-            curmax = jnp.where(best < _BIGF, -1.0, tmax_r)
-        else:
-            curmax = jnp.minimum(tmax_r, best)
-        live = ten <= jnp.max(curmax)
-
-        def do_internal(state):
-            sp, nv, lv = state
-            cb = cbox_ref[node, :].reshape(16, 1)
-            cl = cbox_ref[node, 12].astype(jnp.int32)
-            cr = cbox_ref[node, 13].astype(jnp.int32)
-            cb12 = jnp.broadcast_to(cb[0:12], (12, W))
-            t_all = (cb12 - ob12) * rcp12
-            lo_t = jnp.where(jnp.isnan(t_all), -jnp.inf, t_all)
-            hi_t = jnp.where(jnp.isnan(t_all), jnp.inf, t_all)
-            tnL = jnp.minimum(lo_t[0:3], lo_t[3:6])
-            tfL = jnp.maximum(hi_t[0:3], hi_t[3:6])
-            tnR = jnp.minimum(lo_t[6:9], lo_t[9:12])
-            tfR = jnp.maximum(hi_t[6:9], hi_t[9:12])
-            entL = jnp.maximum(jnp.max(tnL, axis=0, keepdims=True), tmin_r)
-            extL = jnp.minimum(jnp.min(tfL, axis=0, keepdims=True), curmax)
-            entR = jnp.maximum(jnp.max(tnR, axis=0, keepdims=True), tmin_r)
-            extR = jnp.minimum(jnp.min(tfR, axis=0, keepdims=True), curmax)
-            okL = entL <= extL
-            okR = entR <= extR
-            hL = jnp.any(okL)
-            hR = jnp.any(okR)
-            tL = jnp.min(jnp.where(okL, entL, jnp.inf))
-            tR = jnp.min(jnp.where(okR, entR, jnp.inf))
-            l_near = tL <= tR
-            near_i = jnp.where(l_near, cl, cr)
-            far_i = jnp.where(l_near, cr, cl)
-            near_t = jnp.where(l_near, tL, tR)
-            far_t = jnp.where(l_near, tR, tL)
-            near_h = jnp.where(l_near, hL, hR)
-            far_h = jnp.where(l_near, hR, hL)
-
-            # predicated push: write unconditionally at sp, advance sp
-            # only on a hit — no scalar branches
-            def push(sp, idx, tv, h):
-                stack_i[sp] = idx
-                stack_t[sp] = tv
-                return sp + jnp.where(h, 1, 0)
-
-            sp = push(sp, far_i, far_t, far_h)
-            sp = push(sp, near_i, near_t, near_h)
-            return (sp, nv + 1, lv)
-
-        def do_leaf(state):
-            sp, nv, lv = state
-            leaf = -node - 1
-            w = leafW_ref[leaf]                            # (16, 128)
-            nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
-                           precision=_LEAF_PRECISION)  # (W, 128)
-            b_n = nums[:, 0:K]
-            g_n = nums[:, K:2 * K]
-            den = nums[:, 2 * K:3 * K]
-            t_n = nums[:, 3 * K:4 * K]
-            safe = jnp.where(jnp.abs(den) < _DEN_TINY, 1.0, den)
-            inv = 1.0 / safe
-            beta = b_n * inv
-            gamma = g_n * inv
-            tt = t_n * inv
-            if any_hit:
-                curmax_c = jnp.where(best.reshape(W, 1) < _BIGF,
-                                     -1.0, tmax_c)
-            else:
-                curmax_c = jnp.minimum(tmax_c, best.reshape(W, 1))
-            ok = ((beta >= -EPSILON) & (gamma >= -EPSILON)
-                  & (beta + gamma <= 1.0 + EPSILON)
-                  & (tt >= tmin_c) & (tt <= curmax_c)
-                  & (jnp.abs(den) >= _DEN_TINY))
-            tm = jnp.where(ok, tt, _BIGF)
-            lt = jnp.min(tm, axis=1).reshape(1, W)
-            lj = jnp.argmin(tm, axis=1).astype(jnp.int32).reshape(1, W)
-            better = lt < best
-            newb = jnp.where(better, lt, best)
-            vbest[0, :] = newb[0]
-            vbid[0, :] = jnp.where(better, leaf * K + lj,
-                                   vbid[0, :].reshape(1, W))[0]
-            if any_hit:
-                occ_or_dead = (newb < _BIGF) | (tmax_r < tmin_r)
-                sp = jnp.where(jnp.all(occ_or_dead), 0, sp)
-            return (sp, nv, lv + 1)
-
-        def visit(state):
-            return jax.lax.cond(node >= 0, do_internal, do_leaf, state)
-
-        return jax.lax.cond(live, visit, lambda s: s, state)
-
-    _, nv, lv = jax.lax.while_loop(lambda s: s[0] > 0, body, state0)
-    # single end-of-walk store; outputs are (1, 8, W) blocks (Mosaic
-    # wants >=8 sublanes), so broadcast the row across sublanes
-    out_t_ref[0] = jnp.broadcast_to(vbest[0, :].reshape(1, W), (8, W))
-    out_id_ref[0] = jnp.broadcast_to(vbid[0, :].reshape(1, W), (8, W))
-    if with_stats:
-        out_nv_ref[0] = jnp.broadcast_to(nv.reshape(1, 1), (8, W))
-        out_lv_ref[0] = jnp.broadcast_to(lv.reshape(1, 1), (8, W))
-
-
-def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
-                                     d: jax.Array, tmin, tmax,
-                                     any_hit: bool = False,
-                                     interpret: bool | None = None,
-                                     with_stats: bool = False,
-                                     wide: bool | None = None,
-                                     gsub: int | None = None):
-    """Closest hit (or first-hit occlusion) of N rays against the
-    VMEM-resident BVH. prim_id indexes the Morton-ordered pack.
-
-    with_stats=True additionally returns the -DSTATS traversal counters
-    measured INSIDE the actual traversal (not a separate approximating
-    pass): (Hit, box_tests (N,), tri_tests (N,)) per-ray i32 counts,
-    with the reference's accounting (2 child slab tests per internal
-    visit, BVH.cpp:513-584; K triangle tests per leaf visit,
-    BVH.cpp:478-510)."""
-    accel, o, d, tmin, tmax = jax.lax.stop_gradient(
-        (accel, o, d, tmin, tmax))
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    if wide is None:
-        # TPU A/B (bunny1 512^2, bvh4): NARROW per-128-ray walks win
-        # both modes on real workloads — closest-hit 17.9 vs 26.4 ms
-        # (wasted per-tile leaf tests dominate at width) and REAL
-        # shadow rays (1.4% occluded, no early-out help) 17.4 vs 27.5.
-        # Wide-512 only wins any-hit when most rays occlude quickly
-        # (camera-ray test: 7.6 ms) — not the shadow distribution.
-        wide = False
-    if gsub is None:
-        gsub = 4 if (wide and any_hit) else GSUB
-    if not wide:
-        gsub = GSUB          # narrow kernel is hard-wired to 8 subtiles
-    n = o.shape[0]
+def _stage_rays(o, d, tmin, tmax, n: int):
+    """Pad + build the kernels' two transposed ray operands:
+    r8T (ng, GSUB, 8, T) rows [o(3) 1/d(3) tmin tmax] and
+    rmatT (ng, GSUB, 16, T) rows [d(3) oxd(3) o(3) 1 tmin tmax 0(4)].
+    Component-on-sublane / ray-on-lane is the layout every kernel op
+    wants (slab tests as (12, T) rows; the leaf matmul contracts the
+    16-row operand directly) — staged HERE so kernels do no per-walk
+    transposes and the VMEM blocks don't lane-pad (a (T, 8) block pads
+    its 8-lane minor dim to 128: 16x the footprint and DMA)."""
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
-
-    ng = max(1, -(-n // (gsub * T)))
-    n_pad = ng * gsub * T
+    ng = max(1, -(-n // (GSUB * T)))
+    n_pad = ng * GSUB * T
 
     def pad(x, fill):
         if n_pad == n:
@@ -524,55 +342,54 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
     m_p = jnp.cross(o_p, d_p)
     rcp_p = 1.0 / d_p
 
-    # natural (rays, cols) layouts: single concatenates, no transposes
-    # (host-side jnp.stack staging measured ~12 ms/step in the profile)
-    r8 = jnp.concatenate(
-        [o_p, rcp_p, tmin_p[:, None], tmax_p[:, None]],
-        axis=1).reshape(ng, gsub, T, 8)
+    def to_t(cols, width):
+        # (n_pad, width) -> (ng, GSUB, width, T): one fused transpose
+        cat = jnp.concatenate(cols, axis=1)
+        return cat.reshape(ng, GSUB, T, width).swapaxes(2, 3)
+
+    r8 = to_t([o_p, rcp_p, tmin_p[:, None], tmax_p[:, None]], 8)
     ones = jnp.ones((n_pad, 1), jnp.float32)
     zeros = jnp.zeros((n_pad, 4), jnp.float32)
-    rmat = jnp.concatenate(
-        [d_p, m_p, o_p, ones, tmin_p[:, None], tmax_p[:, None], zeros],
-        axis=1).reshape(ng, gsub, T, 16)
+    rmat = to_t([d_p, m_p, o_p, ones, tmin_p[:, None], tmax_p[:, None],
+                 zeros], 16)
+    return r8, rmat, ng, n_pad
+
+
+def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
+                                     d: jax.Array, tmin, tmax,
+                                     any_hit: bool = False,
+                                     interpret: bool | None = None,
+                                     with_stats: bool = False):
+    """Closest hit (or first-hit occlusion) of N rays against the
+    VMEM-resident BVH. prim_id indexes the Morton-ordered pack.
+
+    with_stats=True additionally returns the -DSTATS traversal counters
+    measured INSIDE the actual traversal (not a separate approximating
+    pass): (Hit, box_tests (N,), tri_tests (N,)) per-ray i32 counts,
+    with the reference's accounting (2 child slab tests per internal
+    visit, BVH.cpp:513-584; K triangle tests per leaf visit,
+    BVH.cpp:478-510)."""
+    accel, o, d, tmin, tmax = jax.lax.stop_gradient(
+        (accel, o, d, tmin, tmax))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = o.shape[0]
+    r8, rmat, ng, n_pad = _stage_rays(o, d, tmin, tmax, n)
 
     is4 = isinstance(accel, PallasBVH4)
-    if is4:
-        kern_fn = _traverse4_kernel_wide if wide else _traverse4_kernel
-    else:
-        kern_fn = _traverse_kernel_wide if wide else _traverse_kernel
+    kern_fn = _traverse4_kernel if is4 else _traverse_kernel
     kern = functools.partial(kern_fn, any_hit=any_hit,
                              with_stats=with_stats)
     s = accel.stack_depth
-    WT = gsub * T
-    if wide:
-        # wide layouts: one (WT, 8)/(WT, 16) ray block and flat (WT,)
-        # outputs per program — no in-kernel reshapes (a (GSUB,T,8) ->
-        # (WT,8) reshape inside the kernel hung the Mosaic compiler)
-        r8 = r8.reshape(ng, WT, 8)
-        rmat = rmat.reshape(ng, WT, 16)
-        ray_specs = [
-            pl.BlockSpec((1, WT, 8), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WT, 16), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        # outputs are (1, 8, W) blocks: Mosaic requires the last two
-        # block dims be (mult of 8, mult of 128); the kernel broadcasts
-        # its (1, W) result row across the 8 sublanes and the host
-        # reads sublane 0
-        rt_spec = pl.BlockSpec((1, 8, WT), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)
-        rt_shape = (ng, 8, WT)
-    else:
-        ray_specs = [
-            pl.BlockSpec((1, GSUB, T, 8), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GSUB, T, 16), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        rt_spec = pl.BlockSpec((1, GSUB, T), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)
-        rt_shape = (ng, GSUB, T)
+    ray_specs = [
+        pl.BlockSpec((1, GSUB, 8, T), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, GSUB, 16, T), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    rt_spec = pl.BlockSpec((1, GSUB, T), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    rt_shape = (ng, GSUB, T)
     n_out = 4 if with_stats else 2
     outs = pl.pallas_call(
         kern,
@@ -592,18 +409,11 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
         scratch_shapes=[
             pltpu.SMEM((s,), jnp.int32),
             pltpu.SMEM((s,), jnp.float32),
-        ] + ([
-            # wide kernels keep the running best-hit row in VMEM
-            # scratch, updated in place by the leaf branch
-            pltpu.VMEM((1, WT), jnp.float32),
-            pltpu.VMEM((1, WT), jnp.int32),
-        ] if wide else []),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(r8, rmat, accel.cbox, accel.leafW)
-    if wide:
-        outs = [x[:, 0, :] for x in outs]    # sublane 0 of each block
     best_t = outs[0].reshape(n_pad)[:n]
     best_id = outs[1].reshape(n_pad)[:n]
     hit = best_t < _BIG
@@ -938,147 +748,6 @@ def build_pallas_bvh4_sah(pack: TrianglePack):
     return new_pack, accel
 
 
-def _traverse4_kernel_wide(r8_ref, rmat_ref, cbox_ref, leafW_ref,
-                           out_t_ref, out_id_ref, *rest,
-                           any_hit: bool, with_stats: bool):
-    """4-wide variant of _traverse_kernel_wide (one shared stack per
-    grid program; 4 child boxes per internal visit)."""
-    if with_stats:
-        out_nv_ref, out_lv_ref, stack_i, stack_t, vbest, vbid = rest
-    else:
-        stack_i, stack_t, vbest, vbid = rest
-
-    W = r8_ref.shape[1]
-    rc = r8_ref[0]
-    r8 = jnp.transpose(rc)               # (8, W)
-    rmat = rmat_ref[0]                   # (W, 16)
-    o3 = r8[0:3, :]
-    rcp3 = r8[3:6, :]
-    tmin_r = r8[6:7, :]
-    tmax_r = r8[7:8, :]
-    o12 = jnp.repeat(o3, 4, axis=0)      # (12, W) plane-grouped order
-    rcp12 = jnp.repeat(rcp3, 4, axis=0)
-    tmin_c = rmat[:, 10:11]
-    tmax_c = rmat[:, 11:12]
-
-    stack_i[0] = 0
-    stack_t[0] = 0.0
-    sp0 = jnp.where(jnp.any(tmax_r >= tmin_r), 1, 0)
-    vbest[0, :] = jnp.full((W,), _BIGF, jnp.float32)
-    vbid[0, :] = jnp.zeros((W,), jnp.int32)
-    state0 = (sp0, jnp.int32(0), jnp.int32(0))
-
-    def body(state):
-        sp, nv, lv = state
-        sp = sp - 1
-        node = stack_i[sp]
-        ten = stack_t[sp]
-        state = (sp, nv, lv)                 # re-pack the popped sp
-        best = vbest[0, :].reshape(1, W)
-        if any_hit:
-            curmax = jnp.where(best < _BIGF, -1.0, tmax_r)
-        else:
-            curmax = jnp.minimum(tmax_r, best)
-        live = ten <= jnp.max(curmax)
-
-        def do_internal(state):
-            sp, nv, lv = state
-            cb = cbox_ref[node, :].reshape(32, 1)
-            cbL = jnp.broadcast_to(cb[0:12], (12, W))
-            cbH = jnp.broadcast_to(cb[12:24], (12, W))
-            tA = (cbL - o12) * rcp12
-            tB = (cbH - o12) * rcp12
-            tnA = jnp.where(jnp.isnan(tA), -jnp.inf, tA)
-            tnB = jnp.where(jnp.isnan(tB), -jnp.inf, tB)
-            tfA = jnp.where(jnp.isnan(tA), jnp.inf, tA)
-            tfB = jnp.where(jnp.isnan(tB), jnp.inf, tB)
-            tn = jnp.minimum(tnA, tnB)
-            tf = jnp.maximum(tfA, tfB)
-            ent4 = jnp.maximum(
-                jnp.maximum(tn[0:4], tn[4:8]),
-                jnp.maximum(tn[8:12], jnp.broadcast_to(tmin_r, (4, W))))
-            ext4 = jnp.minimum(
-                jnp.minimum(tf[0:4], tf[4:8]),
-                jnp.minimum(tf[8:12], jnp.broadcast_to(curmax, (4, W))))
-            ok4 = ent4 <= ext4                       # (4, W)
-            entm = jnp.min(jnp.where(ok4, ent4, jnp.inf), axis=1,
-                           keepdims=True)            # (4, 1) slot entry
-            keys = []
-            for i in range(4):
-                k_i = jnp.where(entm[i, 0] < jnp.inf,
-                                entm[i, 0], -jnp.inf)  # -inf = dead
-                l_i = cbox_ref[node, 24 + i].astype(jnp.int32)
-                keys.append((k_i, l_i))
-
-            # descending sort by key: push far-to-near, dead (-inf) last
-            def cswap(a, b):
-                sw = a[0] < b[0]
-                hi = (jnp.where(sw, b[0], a[0]), jnp.where(sw, b[1], a[1]))
-                lo = (jnp.where(sw, a[0], b[0]), jnp.where(sw, a[1], b[1]))
-                return hi, lo
-
-            keys[0], keys[1] = cswap(keys[0], keys[1])
-            keys[2], keys[3] = cswap(keys[2], keys[3])
-            keys[0], keys[2] = cswap(keys[0], keys[2])
-            keys[1], keys[3] = cswap(keys[1], keys[3])
-            keys[1], keys[2] = cswap(keys[1], keys[2])
-
-            for k_i, l_i in keys:
-                stack_i[sp] = l_i
-                stack_t[sp] = k_i
-                sp = sp + jnp.where(k_i > -jnp.inf, 1, 0)
-            return (sp, nv + 1, lv)
-
-        def do_leaf(state):
-            sp, nv, lv = state
-            leaf = -node - 1
-            w = leafW_ref[leaf]
-            nums = jnp.dot(rmat, w, preferred_element_type=jnp.float32,
-                           precision=_LEAF_PRECISION)
-            b_n = nums[:, 0:K]
-            g_n = nums[:, K:2 * K]
-            den = nums[:, 2 * K:3 * K]
-            t_n = nums[:, 3 * K:4 * K]
-            safe = jnp.where(jnp.abs(den) < _DEN_TINY, 1.0, den)
-            inv = 1.0 / safe
-            beta = b_n * inv
-            gamma = g_n * inv
-            tt = t_n * inv
-            if any_hit:
-                curmax_c = jnp.where(best.reshape(W, 1) < _BIGF,
-                                     -1.0, tmax_c)
-            else:
-                curmax_c = jnp.minimum(tmax_c, best.reshape(W, 1))
-            ok = ((beta >= -EPSILON) & (gamma >= -EPSILON)
-                  & (beta + gamma <= 1.0 + EPSILON)
-                  & (tt >= tmin_c) & (tt <= curmax_c)
-                  & (jnp.abs(den) >= _DEN_TINY))
-            tm = jnp.where(ok, tt, _BIGF)
-            lt = jnp.min(tm, axis=1).reshape(1, W)
-            lj = jnp.argmin(tm, axis=1).astype(jnp.int32).reshape(1, W)
-            better = lt < best
-            newb = jnp.where(better, lt, best)
-            vbest[0, :] = newb[0]
-            vbid[0, :] = jnp.where(better, leaf * K + lj,
-                                   vbid[0, :].reshape(1, W))[0]
-            if any_hit:
-                occ_or_dead = (newb < _BIGF) | (tmax_r < tmin_r)
-                sp = jnp.where(jnp.all(occ_or_dead), 0, sp)
-            return (sp, nv, lv + 1)
-
-        def visit(state):
-            return jax.lax.cond(node >= 0, do_internal, do_leaf, state)
-
-        return jax.lax.cond(live, visit, lambda s: s, state)
-
-    _, nv, lv = jax.lax.while_loop(lambda s: s[0] > 0, body, state0)
-    out_t_ref[0] = jnp.broadcast_to(vbest[0, :].reshape(1, W), (8, W))
-    out_id_ref[0] = jnp.broadcast_to(vbid[0, :].reshape(1, W), (8, W))
-    if with_stats:
-        out_nv_ref[0] = jnp.broadcast_to(nv.reshape(1, 1), (8, W))
-        out_lv_ref[0] = jnp.broadcast_to(lv.reshape(1, 1), (8, W))
-
-
 def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                       out_t_ref, out_id_ref, *rest,
                       any_hit: bool, with_stats: bool):
@@ -1130,9 +799,8 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
         rays on sublanes and paid two 128-wide lane<->sublane
         transposes per leaf visit.
     """
-    rc = r8_ref[0, t_idx]                # (T, 8)
-    r8 = jnp.transpose(rc)               # (8, T)
-    rmatT = jnp.transpose(rmat_ref[0, t_idx])   # (16, T), once per walk
+    r8 = r8_ref[0, t_idx]                # (8, T): host-staged transposed
+    rmatT = rmat_ref[0, t_idx]           # (16, T)
     o3 = r8[0:3, :]
     rcp3 = r8[3:6, :]
     tmin_r = r8[6:7, :]
