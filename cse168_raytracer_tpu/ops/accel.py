@@ -144,35 +144,38 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
                  stack, MXU leaf packets;
       "pallas_sah" — Pallas traversal kernel over a native binned-SAH
                  binary tree (ops/pallas_bvh.py + csrc/bvh_builder.cpp);
-      "pallas_sah4" — same tree collapsed to 4-wide nodes: the fast
-                 default on TPU (14.6 M closest-hit rays/s on bunny1
-                 512^2 vs 10.8 M for the binary tree, same chip);
-      "pallas_forest" — Morton-partitioned forest of 4-wide sub-trees
-                 for scenes past the ~380k-tri VMEM cap (chunk_tris=N
-                 to override the chunk size);
+      "pallas_sah4" — same tree collapsed to 4-wide nodes with the
+                 whole leaf table VMEM-resident: the fast default on
+                 TPU for scenes up to the ~300k-tri VMEM cap;
+      "pallas_hbm" — one whole-scene 4-wide tree with inner nodes in
+                 VMEM and leaf tables in HBM (per-leaf-visit DMA): the
+                 default past the VMEM cap;
+      "pallas_forest" — Morton-partitioned forest of VMEM-resident
+                 4-wide sub-trees (chunk_tris=N overrides the chunk
+                 size): the pre-HBM big-scene design, kept for A/B;
       "pallas" — legacy VMEM-resident block kernel
                  (ops/pallas_intersect.py);
-      "auto"   — pallas_sah4 (or pallas_forest) on TPU, block elsewhere
+      "auto"   — pallas_sah4 / pallas_hbm on TPU, block elsewhere
                  (the Pallas kernels only run interpreted off-TPU, far
                  too slow).
-    Extra kwargs (leaf_size, tile) forward to the builder.
+    Extra kwargs: chunk_tris (pallas_forest only), leaf_size / tile
+    (bvh / packet builders only); anything else raises at the builder.
     Returns the updated Scene.
     """
     if kind == "auto":
-        # the Pallas kernel keeps its leaf table VMEM-resident: 8 KB per
-        # 32-tri leaf, ~100 MB usable VMEM on v5e -> ~380k-triangle cap;
-        # bigger scenes become a forest of VMEM-sized sub-trees with
-        # cross-chunk tmax culling (chunk tables stream HBM->VMEM per
-        # pallas_call)
+        # the VMEM-resident kernel keeps its leaf table on-chip: 8 KB
+        # per 32-tri leaf, ~100 MB usable VMEM on v5e -> ~380k-triangle
+        # cap; bigger scenes keep ONE whole-scene tree but leave leaf
+        # tables in HBM (per-leaf DMA in the kernel)
         n_tris = int(np.asarray(scene.tris.valid).sum())
         if jax.default_backend() != "tpu":
             kind = "block"
         else:
             # 4-wide collapsed tree wins the TPU A/B (see pallas_bvh).
             # SAH leaves run ~50-70% full, so the VMEM fit is only
-            # known post-build; pallas_sah4 falls through to the
-            # forest below when its leaf table is too big.
-            kind = "pallas_sah4" if n_tris <= 300_000 else "pallas_forest"
+            # known post-build; pallas_sah4 falls through to pallas_hbm
+            # below when its leaf table is too big.
+            kind = "pallas_sah4" if n_tris <= 300_000 else "pallas_hbm"
     if kind == "pallas_sah":
         # the SAH builder defines its own triangle order (leaf blocks)
         from cse168_raytracer_tpu.ops.pallas_bvh import build_pallas_bvh_sah
@@ -180,16 +183,23 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
         return scene.replace(tris=new_pack, accel=accel)
     if kind == "pallas_sah4":
         from cse168_raytracer_tpu.ops.pallas_bvh import (
-            MAX_LEAVES_PER_CHUNK, build_pallas_bvh4_sah)
+            MAX_LEAVES_PER_CHUNK, PallasBVHHBM, build_pallas_bvh4_sah)
         new_pack, accel = build_pallas_bvh4_sah(scene.tris)
         if accel.n_leaves > MAX_LEAVES_PER_CHUNK:
-            kind = "pallas_forest"      # leaf table exceeds VMEM budget
-        else:
-            return scene.replace(tris=new_pack, accel=accel)
+            # leaf table exceeds the VMEM budget: same tree, leaves
+            # demoted to HBM (no rebuild)
+            accel = PallasBVHHBM(*accel)
+        return scene.replace(tris=new_pack, accel=accel)
+    if kind == "pallas_hbm":
+        from cse168_raytracer_tpu.ops.pallas_bvh import build_pallas_bvh4_hbm
+        new_pack, accel = build_pallas_bvh4_hbm(scene.tris)
+        return scene.replace(tris=new_pack, accel=accel)
     if kind == "pallas_forest":
         from cse168_raytracer_tpu.ops.pallas_bvh import \
             build_pallas_bvh_forest
-        new_pack, accel = build_pallas_bvh_forest(scene.tris, **kwargs)
+        new_pack, accel = build_pallas_bvh_forest(
+            scene.tris, **{k: v for k, v in kwargs.items()
+                           if k == "chunk_tris"})
         return scene.replace(tris=new_pack, accel=accel)
     pack = scene.tris
     perm = morton_order(np.asarray(pack.v0), np.asarray(pack.e1),
@@ -214,14 +224,40 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
 
 def scene_closest_hit(accel, tris: TrianglePack, spheres: SpherePool,
                       planes: PlanePool, o, d, tmin=0.0,
-                      tmax=MIRO_TMAX, blpatches=None) -> Hit:
-    """Dispatch on the attached accelerator type."""
+                      tmax=MIRO_TMAX, blpatches=None,
+                      with_stats: bool = False):
+    """Dispatch on the attached accelerator type.
+
+    with_stats=True returns (Hit, box_tests, tri_tests) with the
+    -DSTATS counters measured INSIDE the traversal that produced the
+    hits (Stats.h accounting); accelerators without in-traversal
+    counters (block/legacy-pallas) return zero counters."""
+    if with_stats:
+        from cse168_raytracer_tpu.ops.pallas_bvh import (
+            PallasBVH, PallasBVH4, PallasBVHHBM,
+            pallas_bvh_closest_hit_triangles)
+        if isinstance(accel, (PallasBVH, PallasBVH4, PallasBVHHBM)):
+            h, box, tri = pallas_bvh_closest_hit_triangles(
+                accel, o, d, tmin, tmax, with_stats=True)
+            h = _merge(h, intersect_spheres(spheres, o, d, tmin, tmax))
+            h = _merge(h, intersect_planes(planes, o, d, tmin, tmax))
+            if blpatches is not None:
+                from cse168_raytracer_tpu.ops.intersect import \
+                    intersect_blpatches
+                h = _merge(h, intersect_blpatches(blpatches, o, d,
+                                                  tmin, tmax))
+            return h, box, tri
+        h = scene_closest_hit(accel, tris, spheres, planes, o, d,
+                              tmin, tmax, blpatches=blpatches)
+        zero = jnp.zeros(o.shape[:1], jnp.int32)
+        return h, zero, zero
     from cse168_raytracer_tpu.ops.bvh import BVHAccel, bvh_closest_hit
     from cse168_raytracer_tpu.ops.packet import (PacketAccel,
                                                  packet_closest_hit)
     from cse168_raytracer_tpu.ops.pallas_bvh import (PallasBVH,
                                                      PallasBVH4,
                                                      PallasBVHForest,
+                                                     PallasBVHHBM,
                                                      forest_closest_hit,
                                                      pallas_bvh_closest_hit)
     from cse168_raytracer_tpu.ops.pallas_intersect import (PallasTriBlocks,
@@ -229,7 +265,7 @@ def scene_closest_hit(accel, tris: TrianglePack, spheres: SpherePool,
     if isinstance(accel, PallasBVHForest):
         return forest_closest_hit(accel, tris, spheres, planes, o, d,
                                   tmin, tmax, blpatches=blpatches)
-    if isinstance(accel, (PallasBVH, PallasBVH4)):
+    if isinstance(accel, (PallasBVH, PallasBVH4, PallasBVHHBM)):
         return pallas_bvh_closest_hit(accel, tris, spheres, planes, o, d,
                                       tmin, tmax, blpatches=blpatches)
     if isinstance(accel, BVHAccel):
@@ -347,25 +383,53 @@ def accel_any_hit_triangles(accel: BlockAccel, pack: TrianglePack,
 
 def scene_any_hit(accel: BlockAccel, tris: TrianglePack,
                   spheres: SpherePool, planes: PlanePool, o, d,
-                  tmin=0.0, tmax=MIRO_TMAX, blpatches=None):
+                  tmin=0.0, tmax=MIRO_TMAX, blpatches=None,
+                  with_stats: bool = False):
     """Boolean shadow occlusion across all primitive pools.
 
     All inputs are gradient-stopped: the boolean result carries no
     gradient, and keeping AD out of the traversal scans avoids
     linearization residuals that blow up compile time.
+
+    with_stats=True returns (occ, box_tests, tri_tests) — in-traversal
+    counters for Pallas accels, zeros otherwise (see scene_closest_hit).
     """
+    if with_stats:
+        from cse168_raytracer_tpu.ops.pallas_bvh import (
+            PallasBVH, PallasBVH4, PallasBVHHBM,
+            pallas_bvh_closest_hit_triangles)
+        if isinstance(accel, (PallasBVH, PallasBVH4, PallasBVHHBM)):
+            (accel, tris, spheres, planes, o, d, tmin, tmax, blpatches) = \
+                jax.lax.stop_gradient((accel, tris, spheres, planes, o, d,
+                                       tmin, tmax, blpatches))
+            h, box, tri = pallas_bvh_closest_hit_triangles(
+                accel, o, d, tmin, tmax, any_hit=True, with_stats=True)
+            occ = h.hit
+            occ = occ | intersect_spheres(spheres, o, d, tmin, tmax).hit
+            occ = occ | intersect_planes(planes, o, d, tmin, tmax).hit
+            if blpatches is not None:
+                from cse168_raytracer_tpu.ops.intersect import \
+                    intersect_blpatches
+                occ = occ | intersect_blpatches(blpatches, o, d,
+                                                tmin, tmax).hit
+            return occ, box, tri
+        occ = scene_any_hit(accel, tris, spheres, planes, o, d,
+                            tmin, tmax, blpatches=blpatches)
+        zero = jnp.zeros(o.shape[:1], jnp.int32)
+        return occ, zero, zero
     from cse168_raytracer_tpu.ops.bvh import BVHAccel, bvh_any_hit
     from cse168_raytracer_tpu.ops.packet import PacketAccel, packet_any_hit
     from cse168_raytracer_tpu.ops.pallas_bvh import (PallasBVH,
                                                      PallasBVH4,
                                                      PallasBVHForest,
+                                                     PallasBVHHBM,
                                                      forest_any_hit,
                                                      pallas_bvh_any_hit)
     from cse168_raytracer_tpu.ops.pallas_intersect import PallasTriBlocks
     if isinstance(accel, PallasBVHForest):
         return forest_any_hit(accel, tris, spheres, planes, o, d,
                               tmin, tmax, blpatches=blpatches)
-    if isinstance(accel, (PallasBVH, PallasBVH4)):
+    if isinstance(accel, (PallasBVH, PallasBVH4, PallasBVHHBM)):
         return pallas_bvh_any_hit(accel, tris, spheres, planes, o, d,
                                   tmin, tmax, blpatches=blpatches)
     if isinstance(accel, PallasTriBlocks):

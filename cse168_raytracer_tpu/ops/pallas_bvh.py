@@ -57,8 +57,12 @@ from cse168_raytracer_tpu.ops.bvh import _FAR, _build_cbox, _leaf_boxes
 from cse168_raytracer_tpu.ops.intersect import (_BIG, _DEN_TINY, PRIM_NONE,
                                                 PRIM_TRI, Hit)
 
-K = 32          # triangles per leaf (128 output lanes / 4 planar groups)
 import os as _os_t
+# triangles per leaf: the leaf operand block is (16, 4K) — beta/gamma/
+# den/t planar groups of K lanes each; bytes/tri are constant in K, so
+# bigger leaves trade wasted tri tests for fewer leaf visits (each an
+# ~1 us DMA wait on the HBM-leaf path)
+K = int(_os_t.environ.get("CSE168_LEAF_K", "32"))
 # rays per subtile walk. TPU A/B on bunny1 512^2 (closest / shadow ms):
 # 128: 9.2/12.1   256: 6.7/8.0   512: 6.1/7.9   1024: 7.2/9.8
 # — wider tiles amortize the per-visit scalar overhead across more rays
@@ -109,7 +113,7 @@ def _leafW_from_pack(pack: TrianglePack, n_leaves: int) -> np.ndarray:
     [beta(K) | gamma(K) | den(K) | t(K)] from a LEAF-ORDERED pack."""
     w6 = np.asarray(pack.w6)                    # (6, T, 3) [b, g, d] cols
     w4 = np.asarray(pack.w4)                    # (4, T)
-    leafW = np.zeros((n_leaves, 16, 128), np.float32)
+    leafW = np.zeros((n_leaves, 16, 4 * K), np.float32)
     w6l = w6.reshape(6, n_leaves, K, 3)
     leafW[:, 0:6, 0:K] = w6l[..., 0].transpose(1, 0, 2)        # beta num
     leafW[:, 0:6, K:2 * K] = w6l[..., 1].transpose(1, 0, 2)    # gamma num
@@ -376,10 +380,12 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
     n = o.shape[0]
     r8, rmat, ng, n_pad = _stage_rays(o, d, tmin, tmax, n)
 
-    is4 = isinstance(accel, PallasBVH4)
+    hbm = isinstance(accel, PallasBVHHBM)
+    is4 = isinstance(accel, (PallasBVH4, PallasBVHHBM))
     kern_fn = _traverse4_kernel if is4 else _traverse_kernel
     kern = functools.partial(kern_fn, any_hit=any_hit,
-                             with_stats=with_stats)
+                             with_stats=with_stats,
+                             **({"leaf_hbm": True} if hbm else {}))
     s = accel.stack_depth
     ray_specs = [
         pl.BlockSpec((1, GSUB, 8, T), lambda i: (i, 0, 0, 0),
@@ -387,6 +393,9 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
         pl.BlockSpec((1, GSUB, 16, T), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    leafW_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if hbm
+                  else pl.BlockSpec(accel.leafW.shape, lambda i: (0, 0, 0),
+                                    memory_space=pltpu.VMEM))
     rt_spec = pl.BlockSpec((1, GSUB, T), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     rt_shape = (ng, GSUB, T)
@@ -397,8 +406,7 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
         in_specs=ray_specs + [
             pl.BlockSpec(accel.cbox.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(accel.leafW.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            leafW_spec,
         ],
         out_specs=[rt_spec] * n_out,
         out_shape=[
@@ -409,7 +417,10 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
         scratch_shapes=[
             pltpu.SMEM((s,), jnp.int32),
             pltpu.SMEM((s,), jnp.float32),
-        ],
+        ] + ([
+            pltpu.VMEM((16, 4 * K), jnp.float32),  # leaf DMA landing pad
+            pltpu.SemaphoreType.DMA(()),
+        ] if hbm else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
@@ -495,7 +506,8 @@ jax.tree_util.register_pytree_node(PallasBVHForest, _forest_flatten,
 
 # VMEM budget for one chunk's leaf table: 8 KB per 32-tri leaf against
 # the 120 MB compiler limit, leaving room for rays/outputs/cbox
-MAX_LEAVES_PER_CHUNK = 10_240          # 80 MB of leafW
+# 80 MB of VMEM-resident leafW (16 * 4K * 4 bytes per leaf)
+MAX_LEAVES_PER_CHUNK = (80 * 1024 * 1024) // (16 * 4 * K * 4)
 
 
 def build_pallas_bvh_forest(pack: TrianglePack,
@@ -748,14 +760,60 @@ def build_pallas_bvh4_sah(pack: TrianglePack):
     return new_pack, accel
 
 
+class PallasBVHHBM(NamedTuple):
+    """One SAH BVH4 over the WHOLE scene with inner nodes VMEM-resident
+    and leaf tables in HBM, DMA'd per leaf visit.
+
+    The VMEM-resident PallasBVH4 caps at ~380k triangles (8 KB of leaf
+    operands per 32-tri leaf against ~100 MB of usable VMEM). The first
+    past-VMEM design was a forest of VMEM-sized sub-trees — correct,
+    but every chunk re-ran the FULL per-walk setup for every ray block
+    (bunny20: 12 chunks x ~1900 walks x 2 passes of mostly root-culled
+    walks dominated the frame). Here the tree stays whole: cbox for
+    1.39M tris is only ~6 MB (VMEM), and a leaf visit async-copies its
+    (16, 128) operand block HBM->VMEM scratch (~8 KB, ~1 us) right
+    before the MXU contraction — the reference's "fits in RAM" model
+    (BVH.cpp:91-166 leaf caches) mapped onto the TPU memory hierarchy.
+    """
+    cbox: jax.Array    # (N4, 32) f32, plane-grouped (see _collapse_to_bvh4)
+    leafW: jax.Array   # (L, 16, 128) f32, stays in HBM
+    n_nodes: int
+    n_leaves: int
+    stack_depth: int
+
+
+def _pbh_flatten(b: PallasBVHHBM):
+    return (b.cbox, b.leafW), (b.n_nodes, b.n_leaves, b.stack_depth)
+
+
+def _pbh_unflatten(aux, children):
+    return PallasBVHHBM(*children, *aux)
+
+
+jax.tree_util.register_pytree_node(PallasBVHHBM, _pbh_flatten,
+                                   _pbh_unflatten)
+
+
+def build_pallas_bvh4_hbm(pack: TrianglePack):
+    """SAH BVH4 over the whole pack with HBM-resident leaf tables."""
+    new_pack, a4 = build_pallas_bvh4_sah(pack)
+    return new_pack, PallasBVHHBM(*a4)
+
+
 def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                       out_t_ref, out_id_ref, *rest,
-                      any_hit: bool, with_stats: bool):
-    """Narrow 4-wide variant: each 128-ray sub-tile walks the BVH4 with
+                      any_hit: bool, with_stats: bool,
+                      leaf_hbm: bool = False):
+    """Narrow 4-wide variant: each T-ray sub-tile walks the BVH4 with
     a private stack (the narrow/wide trade measured on TPU: narrow
     tiles do ~8x fewer wasted leaf tests; wide tiles amortize scalar
     visit overhead — with 4-wide nodes the visit count halves, tipping
     the balance back to narrow)."""
+    if leaf_hbm:
+        *rest, lw_scratch, lw_sem = rest
+        leaf_dma = (lw_scratch, lw_sem)
+    else:
+        leaf_dma = None
     if with_stats:
         out_nv_ref, out_lv_ref, stack_i, stack_t = rest
         stats_refs = (out_nv_ref, out_lv_ref)
@@ -766,7 +824,8 @@ def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, leafW_ref,
     def sub_tile(t_idx, _):
         _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                        out_t_ref, out_id_ref, stack_i, stack_t,
-                       t_idx, any_hit=any_hit, stats_refs=stats_refs)
+                       t_idx, any_hit=any_hit, stats_refs=stats_refs,
+                       leaf_dma=leaf_dma)
         return 0
 
     jax.lax.fori_loop(0, GSUB, sub_tile, 0)
@@ -774,7 +833,7 @@ def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, leafW_ref,
 
 def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                    out_t_ref, out_id_ref, stack_i, stack_t, t_idx,
-                   *, any_hit: bool, stats_refs=None):
+                   *, any_hit: bool, stats_refs=None, leaf_dma=None):
     """One 128-ray subtile walk, engineered for minimum per-visit
     overhead (measured r03: 709 ns/visit — ~670 cycles for ~30 cycles
     of vector math; the loop was all scalar sync and layout churn):
@@ -864,7 +923,17 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             if stats_refs is not None:
                 stats_refs[1][0, t_idx, :] = stats_refs[1][0, t_idx, :] + 1
             leaf = -node - 1
-            w = leafW_ref[leaf]                            # (16, 128)
+            if leaf_dma is not None:
+                # HBM-resident leaf table: copy this leaf's operand
+                # block into VMEM scratch (~8 KB) before the matmul
+                lw_scratch, lw_sem = leaf_dma
+                dma = pltpu.make_async_copy(leafW_ref.at[leaf],
+                                            lw_scratch, lw_sem)
+                dma.start()
+                dma.wait()
+                w = lw_scratch[:]                          # (16, 128)
+            else:
+                w = leafW_ref[leaf]                        # (16, 128)
             nums = jax.lax.dot_general(
                 w, rmatT, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

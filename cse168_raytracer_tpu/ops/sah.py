@@ -40,6 +40,14 @@ def _load_lib():
             subprocess.run(["make", "-C", _CSRC], check=True,
                            capture_output=True)
         lib = ctypes.CDLL(so)
+        if not hasattr(lib, "bvh_build"):
+            # stale .so from before bvh_builder.cpp joined the build
+            # (mtime newer than sources, so plain `make` skips it) —
+            # this silently demoted every build to the numpy
+            # median-split fallback for two rounds. Force a rebuild.
+            subprocess.run(["make", "-C", _CSRC, "clean", "all"],
+                           check=True, capture_output=True)
+            lib = ctypes.CDLL(so)
         lib.bvh_build.restype = ctypes.c_void_p
         lib.bvh_build.argtypes = [ctypes.c_void_p] * 3 + [ctypes.c_int32] * 2
         lib.bvh_num_nodes.restype = ctypes.c_int32

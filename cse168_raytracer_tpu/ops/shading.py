@@ -40,24 +40,43 @@ from cse168_raytracer_tpu.ops.surface import Surface, make_surface
 
 
 def trace_closest(scene: Scene, static: SceneStatic, o, d, tmin=0.0,
-                  tmax=None):
+                  tmax=None, collect_stats: bool = False):
     """Scene::trace equivalent: closest hit + surface + bump-perturbed
-    normal. Returns (Hit, Surface) with Surface.n normalized."""
+    normal. Returns (Hit, Surface) with Surface.n normalized.
+
+    collect_stats=True returns (Hit, Surface, (box_sum, tri_sum)) —
+    the in-traversal -DSTATS counters summed over the wavefront as
+    float32 scalars (f32: per-render totals overflow int32 at
+    bunny20 scale)."""
     from cse168_raytracer_tpu.config import MIRO_TMAX
     if tmax is None:
         tmax = MIRO_TMAX
+    counters = None
     if scene.accel is not None:
         from cse168_raytracer_tpu.ops.accel import scene_closest_hit
-        hit = scene_closest_hit(scene.accel, scene.tris, scene.spheres,
-                                scene.planes, o, d, tmin, tmax,
-                                blpatches=scene.blpatches)
+        if collect_stats:
+            hit, box, tri = scene_closest_hit(
+                scene.accel, scene.tris, scene.spheres, scene.planes,
+                o, d, tmin, tmax, blpatches=scene.blpatches,
+                with_stats=True)
+            counters = (jnp.sum(box.astype(jnp.float32)),
+                        jnp.sum(tri.astype(jnp.float32)))
+        else:
+            hit = scene_closest_hit(scene.accel, scene.tris, scene.spheres,
+                                    scene.planes, o, d, tmin, tmax,
+                                    blpatches=scene.blpatches)
     else:
         hit = closest_hit(scene.tris, scene.spheres, scene.planes,
                           o, d, tmin, tmax, blpatches=scene.blpatches)
+        if collect_stats:
+            counters = (jnp.float32(0.0), jnp.float32(0.0))
     surf = make_surface(scene.tris, scene.spheres, scene.planes, o, d, hit,
                         blpatches=scene.blpatches)
     n = apply_bump(scene, static, surf)
-    return hit, surf._replace(n=n)
+    surf = surf._replace(n=n)
+    if collect_stats:
+        return hit, surf, counters
+    return hit, surf
 
 
 def apply_bump(scene: Scene, static: SceneStatic, surf: Surface):
@@ -95,12 +114,15 @@ def apply_bump(scene: Scene, static: SceneStatic, surf: Surface):
 def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
                  surf: Surface, key: jax.Array,
                  disable_shadows: bool = False,
-                 light_samples: int = 1):
+                 light_samples: int = 1,
+                 collect_stats: bool = False):
     """Phong::shade over a wavefront. ray_d: (N,3) incoming directions.
 
     Returns (N,3) direct radiance (zero where surf.hit is False), plus
     the texture diffuse color (reused by callers for photon RR) and an
-    optional shadow-ray count for stats.
+    optional shadow-ray count for stats. collect_stats=True appends a
+    4th return: (box_sum, tri_sum) f32 scalars summed over every
+    shadow traversal (zeros for accels without in-kernel counters).
 
     light_samples > 1 runs the reference's per-light multi-sample loop
     (Phong.cpp:77-80, contribution scaled 1/samples Phong.cpp:145,153)
@@ -119,6 +141,8 @@ def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
 
     total = jnp.zeros_like(surf.p)
     n_shadow = 0
+    box_sum = jnp.float32(0.0)
+    tri_sum = jnp.float32(0.0)
     for li, si in [(li, si) for li in range(static.num_lights)
                    for si in range(light_samples)]:
         lk = jax.random.fold_in(jax.random.fold_in(key, li), si)
@@ -144,16 +168,34 @@ def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
             if scene.accel is not None and not static.any_refractive:
                 # boolean occlusion suffices -> any-hit with early exit
                 # (gradient-stopped inside scene_any_hit)
-                occluded = scene_any_hit(scene.accel, scene.tris,
-                                         scene.spheres, scene.planes,
-                                         sh_o, s.l, 0.0, sh_tmax,
-                                         blpatches=scene.blpatches)
+                if collect_stats:
+                    occluded, sbox, stri = scene_any_hit(
+                        scene.accel, scene.tris, scene.spheres,
+                        scene.planes, sh_o, s.l, 0.0, sh_tmax,
+                        blpatches=scene.blpatches, with_stats=True)
+                    box_sum = box_sum + jnp.sum(sbox.astype(jnp.float32))
+                    tri_sum = tri_sum + jnp.sum(stri.astype(jnp.float32))
+                else:
+                    occluded = scene_any_hit(scene.accel, scene.tris,
+                                             scene.spheres, scene.planes,
+                                             sh_o, s.l, 0.0, sh_tmax,
+                                             blpatches=scene.blpatches)
             else:
                 if scene.accel is not None:
-                    sh_hit = scene_closest_hit(scene.accel, scene.tris,
-                                               scene.spheres, scene.planes,
-                                               sh_o, s.l, 0.0, sh_tmax,
-                                               blpatches=scene.blpatches)
+                    if collect_stats:
+                        sh_hit, sbox, stri = scene_closest_hit(
+                            scene.accel, scene.tris, scene.spheres,
+                            scene.planes, sh_o, s.l, 0.0, sh_tmax,
+                            blpatches=scene.blpatches, with_stats=True)
+                        box_sum = box_sum + jnp.sum(
+                            sbox.astype(jnp.float32))
+                        tri_sum = tri_sum + jnp.sum(
+                            stri.astype(jnp.float32))
+                    else:
+                        sh_hit = scene_closest_hit(
+                            scene.accel, scene.tris, scene.spheres,
+                            scene.planes, sh_o, s.l, 0.0, sh_tmax,
+                            blpatches=scene.blpatches)
                 else:
                     sh_hit = closest_hit(scene.tris, scene.spheres,
                                          scene.planes, sh_o, s.l, 0.0,
@@ -189,4 +231,6 @@ def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
         total = total + jnp.where(visible[..., None], contrib, 0.0)
 
     total = jnp.where(surf.hit[..., None], total, 0.0)
+    if collect_stats:
+        return total, tex_color, n_shadow, (box_sum, tri_sum)
     return total, tex_color, n_shadow

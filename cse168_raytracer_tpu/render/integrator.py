@@ -58,11 +58,20 @@ class Wavefront(NamedTuple):
 
 
 class RenderStats(NamedTuple):
-    """On-device counters (Stats.h equivalents, SURVEY.md #29)."""
+    """On-device counters (Stats.h equivalents, SURVEY.md #29).
+
+    box_tests / tri_tests are the -DSTATS traversal counters measured
+    INSIDE the Pallas kernels across every traversal the render did —
+    closest-hit, shadow, and secondary alike (BVH.cpp:63-65,486-497
+    accounting) — as f32 sums (int32 overflows at bunny20 totals).
+    Zero unless cfg.collect_stats and the accel has in-kernel counters.
+    """
     primary_rays: jax.Array
     secondary_rays: jax.Array
     shadow_rays: jax.Array
     dropped_rays: jax.Array   # pool-overflow children (no ref equivalent)
+    box_tests: jax.Array | float = 0.0
+    tri_tests: jax.Array | float = 0.0
 
 
 def _pad_wavefront(o, d, weight, pixel, capacity: int) -> Wavefront:
@@ -145,19 +154,36 @@ def integrate(scene: Scene, static: SceneStatic, o: jax.Array, d: jax.Array,
     kt_t = scene.materials.kt
 
     def _live_level(carry, level_key, first: bool = False):
-        wf, radiance, sec, shad, drop = carry
+        wf, radiance, sec, shad, drop, boxt, trit = carry
         # dead lanes get tmax < tmin: every slab test fails, so whole
         # blocks are culled for tiles of dead rays (front-packed pools
         # make those tiles contiguous)
         from cse168_raytracer_tpu.config import MIRO_TMAX
         lane_tmax = jnp.where(wf.alive, MIRO_TMAX, -1.0)
-        hit, surf = trace_closest(scene, static, wf.o, wf.d, tmax=lane_tmax)
+        if collect_stats:
+            hit, surf, (cbox, ctri) = trace_closest(
+                scene, static, wf.o, wf.d, tmax=lane_tmax,
+                collect_stats=True)
+            boxt = boxt + cbox
+            trit = trit + ctri
+        else:
+            hit, surf = trace_closest(scene, static, wf.o, wf.d,
+                                      tmax=lane_tmax)
         live_hit = wf.alive & hit.hit
         k_shade, k_lobe1, k_lobe2 = jax.random.split(level_key, 3)
 
-        direct, _tex, n_sh = shade_direct(scene, static, wf.d, surf, k_shade,
-                                          disable_shadows=disable_shadows,
-                                          light_samples=light_samples)
+        if collect_stats:
+            direct, _tex, n_sh, (sbox, stri) = shade_direct(
+                scene, static, wf.d, surf, k_shade,
+                disable_shadows=disable_shadows,
+                light_samples=light_samples, collect_stats=True)
+            boxt = boxt + sbox
+            trit = trit + stri
+        else:
+            direct, _tex, n_sh = shade_direct(
+                scene, static, wf.d, surf, k_shade,
+                disable_shadows=disable_shadows,
+                light_samples=light_samples)
         contrib = direct
 
         if scene.photons is not None:
@@ -189,7 +215,7 @@ def integrate(scene: Scene, static: SceneStatic, o: jax.Array, d: jax.Array,
                              pixel=wf.pixel,
                              alive=jnp.zeros_like(wf.alive))
             shad = shad + n_sh * jnp.sum(live_hit.astype(jnp.int32))
-            return (dead, radiance, sec, shad, drop)
+            return (dead, radiance, sec, shad, drop, boxt, trit)
         mid = surf.material_id
         n = surf.n
         ks = take_rows(ks_t, mid)
@@ -233,7 +259,7 @@ def integrate(scene: Scene, static: SceneStatic, o: jax.Array, d: jax.Array,
         sec = sec + jnp.sum(new_wf.alive.astype(jnp.int32))
         shad = shad + n_sh * jnp.sum(live_hit.astype(jnp.int32))
         drop = drop + dropped
-        return (new_wf, radiance, sec, shad, drop)
+        return (new_wf, radiance, sec, shad, drop, boxt, trit)
 
     # Levels are UNROLLED in python, not lax.scan-ed: XLA conditionals
     # and scan carries copy the multi-MB radiance/wavefront buffers per
@@ -244,13 +270,15 @@ def integrate(scene: Scene, static: SceneStatic, o: jax.Array, d: jax.Array,
     n_levels = (depth + 1) if can_spawn else 1
     keys = jax.random.split(key, max(n_levels, 1))
     zero = jnp.int32(0)
-    carry = (wf, radiance, zero, zero, zero)
+    zf = jnp.float32(0.0)
+    carry = (wf, radiance, zero, zero, zero, zf, zf)
     for li in range(n_levels):
         carry = _live_level(carry, keys[li], first=(li == 0))
-    wf, radiance, sec, shad, drop = carry
+    wf, radiance, sec, shad, drop, boxt, trit = carry
 
     stats = RenderStats(primary_rays=jnp.int32(n0), secondary_rays=sec,
-                        shadow_rays=shad, dropped_rays=drop)
+                        shadow_rays=shad, dropped_rays=drop,
+                        box_tests=boxt, tri_tests=trit)
     return radiance, stats
 
 
@@ -304,11 +332,12 @@ def render_hdr(scene: Scene, static: SceneStatic, cam: Camera,
         px_c = pixel.reshape(n_chunks, cpx)
 
         def body(carry, chunk):
-            rad, sec, shad, drop = carry
+            rad, sec, shad, drop, boxt, trit = carry
             cxs, cys, cpix, ck = chunk
             r, st = fn_one_chunk(cxs, cys, cpix, ck)
             stats_c = (sec + st.secondary_rays, shad + st.shadow_rays,
-                       drop + st.dropped_rays)
+                       drop + st.dropped_rays,
+                       boxt + st.box_tests, trit + st.tri_tests)
             if ray_order:
                 # chunks are contiguous ray ranges: stack, don't scatter
                 return (rad,) + stats_c, r
@@ -316,15 +345,18 @@ def render_hdr(scene: Scene, static: SceneStatic, cam: Camera,
 
         keys = jax.random.split(chunk_key, n_chunks)
         zero = jnp.int32(0)
+        zf = jnp.float32(0.0)
         rad0 = (jnp.zeros((0,), jnp.float32) if ray_order
                 else jnp.zeros((n_pix, 3), jnp.float32))
-        (rad, sec, shad, drop), rs = jax.lax.scan(
-            body, (rad0, zero, zero, zero), (xs_c, ys_c, px_c, keys))
+        (rad, sec, shad, drop, boxt, trit), rs = jax.lax.scan(
+            body, (rad0, zero, zero, zero, zf, zf),
+            (xs_c, ys_c, px_c, keys))
         if ray_order:
             rad = rs.reshape(n_pix, 3)
         return rad, RenderStats(primary_rays=jnp.int32(n_pix),
                                 secondary_rays=sec, shadow_rays=shad,
-                                dropped_rays=drop)
+                                dropped_rays=drop, box_tests=boxt,
+                                tri_tests=trit)
 
     sampled = cfg.path_tracing or cfg.dof
     if not sampled:
@@ -356,7 +388,7 @@ def render_hdr(scene: Scene, static: SceneStatic, cam: Camera,
     spp = cfg.trace_samples
 
     def sample_body(carry, skey):
-        acc, sec, shad, drop = carry
+        acc, sec, shad, drop, boxt, trit = carry
 
         def one_chunk(cxs, cys, cpix, ck):
             k_cam, k_int = jax.random.split(ck)
@@ -376,16 +408,20 @@ def render_hdr(scene: Scene, static: SceneStatic, cam: Camera,
         else:
             r, st = one_chunk(xs, ys, pixel, skey)
         return (acc + r, sec + st.secondary_rays, shad + st.shadow_rays,
-                drop + st.dropped_rays), None
+                drop + st.dropped_rays, boxt + st.box_tests,
+                trit + st.tri_tests), None
 
     keys = jax.random.split(key, spp)
     zero = jnp.int32(0)
-    (acc, sec, shad, drop), _ = jax.lax.scan(
-        sample_body, (jnp.zeros((n_pix, 3), jnp.float32), zero, zero, zero),
+    zf = jnp.float32(0.0)
+    (acc, sec, shad, drop, boxt, trit), _ = jax.lax.scan(
+        sample_body,
+        (jnp.zeros((n_pix, 3), jnp.float32), zero, zero, zero, zf, zf),
         keys)
     stats = RenderStats(primary_rays=jnp.int32(n_pix * spp),
                         secondary_rays=sec, shadow_rays=shad,
-                        dropped_rays=drop)
+                        dropped_rays=drop, box_tests=boxt,
+                        tri_tests=trit)
     if ray_order:
         acc = _unblock(acc)
     return (acc / spp).reshape(h, w, 3), stats

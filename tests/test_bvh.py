@@ -205,6 +205,24 @@ def test_pallas_forest_matches_single_tree(teapot_pack, rays):
     assert np.array_equal(np.asarray(of.hit), np.asarray(hs.hit))
 
 
+def test_pallas_hbm_matches_brute_force(teapot_pack, rays):
+    """HBM-leaf whole-scene tree (per-leaf-visit DMA) must reproduce
+    brute-force hits exactly — same tree as pallas_sah4, only the leaf
+    table's memory space (and the kernel's DMA fetch) differ."""
+    from cse168_raytracer_tpu.ops.pallas_bvh import (
+        build_pallas_bvh4_hbm, pallas_bvh_closest_hit_triangles)
+    o, d = rays
+    o, d = o[:384], d[:384]
+    new_pack, accel = build_pallas_bvh4_hbm(teapot_pack)
+    h_ref = intersect_triangles(new_pack, o, d, 0.0, 1e10)
+    h = pallas_bvh_closest_hit_triangles(accel, o, d, 0.0, 1e10,
+                                         interpret=True)
+    _check_against_brute(h, h_ref)
+    occ = pallas_bvh_closest_hit_triangles(accel, o, d, 0.0, 1e10,
+                                           any_hit=True, interpret=True)
+    assert np.array_equal(np.asarray(occ.hit), np.asarray(h_ref.hit))
+
+
 def test_pallas_bvh4_matches_brute_force(teapot_pack, rays):
     """4-wide collapsed tree must reproduce brute-force hits exactly
     (same acceptance math, different topology)."""

@@ -236,3 +236,36 @@ def test_no_dropped_rays_on_refractive_cornell():
     assert int(stats.dropped_rays) == 0
     assert int(stats.secondary_rays) > 0
     assert np.isfinite(np.asarray(hdr)).all()
+
+
+# ---------------------------------------------------------------------------
+# --stats plumbing: in-kernel traversal counters through a full render
+# (Stats.cpp:15-27 semantics; VERDICT r3 item 6)
+# ---------------------------------------------------------------------------
+
+def test_collect_stats_counts_full_render():
+    """cfg.collect_stats must surface the -DSTATS counters measured
+    inside the Pallas traversal for the WHOLE render (closest + shadow
+    rays), not a separate primary-only pass."""
+    import dataclasses
+    from cse168_raytracer_tpu.ops.accel import attach_accel
+    from cse168_raytracer_tpu.scenes import build
+
+    cfg = RenderConfig(width=32, height=32, trace_depth=2,
+                       collect_stats=True)
+    scene, static, cam, cfg = build("teapot", cfg)
+    scene = attach_accel(scene, kind="pallas_sah4")
+    hdr, stats = render_hdr(scene, static, cam, cfg, jax.random.key(0))
+    n_rays = (int(stats.primary_rays) + int(stats.secondary_rays)
+              + int(stats.shadow_rays))
+    box = float(stats.box_tests)
+    tri = float(stats.tri_tests)
+    # teapot at 32x32: every ray pays at least the root visit; tile
+    # accounting bounds tests/ray by the whole tree
+    assert box > 0 and tri > 0
+    assert tri / n_rays < scene.accel.n_leaves * 32
+    assert box / n_rays < scene.accel.n_nodes * 4
+    # without collect_stats the counters stay at their zero default
+    cfg2 = dataclasses.replace(cfg, collect_stats=False)
+    _, stats2 = render_hdr(scene, static, cam, cfg2, jax.random.key(0))
+    assert float(stats2.box_tests) == 0.0
