@@ -68,11 +68,14 @@ def _cmd_render(args) -> int:
                                               return_stats=True)
         scene = scene.replace(photons=photons)
         print(f"[photons] traced in {time.time() - t0:.2f}s", file=sys.stderr)
-        if args.stats:
+        if args.stats or args.visualize_photons:
             for name, st in ph_stats.items():
+                lvl = st.get("stored_per_level")
+                lvl_s = (" per-level=" + "/".join(map(str, lvl))
+                         if lvl else "")
                 print(f"[stats] photons {name}: emitted={st['emitted']} "
-                      f"stored={st['stored']} bounces={st['bounces']}",
-                      file=sys.stderr)
+                      f"stored={st['stored']} bounces={st['bounces']}"
+                      f"{lvl_s}", file=sys.stderr)
 
     key = jax.random.key(cfg.seed)
     if args.sharded or jax.process_count() > 1:
@@ -158,6 +161,20 @@ def _cmd_render(args) -> int:
     img = to_bytes(tonemap(hdr, args.tonemap))
     write_image(args.out, np.asarray(img))
     print(f"[out] wrote {args.out}", file=sys.stderr)
+    if args.visualize_photons:
+        # -DVISUALIZE_PHOTON_MAP analog (Scene.cpp:405-409,586-591):
+        # stored photons splatted over the frame through the camera
+        if scene.photons is None:
+            print("[viz] no photon maps built (use --photons N)",
+                  file=sys.stderr)
+        else:
+            from cse168_raytracer_tpu.render.photon_viz import \
+                photon_overlay
+            ov = photon_overlay(np.asarray(img), cam, scene.photons,
+                                cfg.width, cfg.height)
+            write_image(args.visualize_photons, ov)
+            print(f"[viz] wrote {args.visualize_photons} "
+                  f"(global=green, caustic=red)", file=sys.stderr)
     return 0
 
 
@@ -196,6 +213,9 @@ def main(argv=None) -> int:
     r.add_argument("--caustic-photons", type=int, default=0)
     r.add_argument("--no-photon-map", action="store_true")
     r.add_argument("--stats", action="store_true", help="-DSTATS counters")
+    r.add_argument("--visualize-photons", default=None, metavar="PATH",
+                   help="write a photon-overlay PNG "
+                        "(-DVISUALIZE_PHOTON_MAP analog)")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--sharded", action="store_true",
                    help="shard pixel rows over all devices (single- or "

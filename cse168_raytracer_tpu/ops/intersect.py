@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cse168_raytracer_tpu.config import EPSILON, MIRO_TMAX
 from cse168_raytracer_tpu.models.geometry import (PlanePool, SpherePool,
@@ -37,7 +38,10 @@ PRIM_SPHERE = 2
 PRIM_PLANE = 3
 PRIM_BLPATCH = 4
 
-_BIG = jnp.float32(3.0e37)
+# np scalar, NOT jnp: a module-level jnp array would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize for
+# any caller that imports the package before joining the job
+_BIG = np.float32(3.0e37)
 _DEN_TINY = 1e-30
 
 

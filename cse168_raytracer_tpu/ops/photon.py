@@ -64,11 +64,13 @@ class PhotonGrid:
     pos: jax.Array          # (P, 3) photon positions (sorted by hash)
     power: jax.Array        # (P, 3) photon powers (pre-scaled)
     dir: jax.Array          # (P, 3) incoming directions
+    weight: jax.Array       # (P,) photons represented (1 + folded share)
     cell_hash: jax.Array    # (P,) i32 sorted hash per photon
     radius: jax.Array       # () gather radius (= cell size)
     n_valid: jax.Array      # () i32
     table_size: int = struct.field(pytree_node=False, default=1 << 20)
     max_per_cell: int = struct.field(pytree_node=False, default=64)
+    knn: int = struct.field(pytree_node=False, default=500)
 
 
 @struct.dataclass
@@ -85,7 +87,8 @@ def _hash_cells(cells: jax.Array, table_size: int) -> jax.Array:
 
 
 def build_grid(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
-               radius: float, max_per_cell: int = 64) -> PhotonGrid:
+               radius: float, max_per_cell: int = 64,
+               knn: int = 500) -> PhotonGrid:
     """Host-side grid build: hash, sort, upload.
 
     Cells holding more than max_per_cell photons (caustic hotspots are
@@ -107,35 +110,77 @@ def build_grid(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
     dir_s = dirs[order].astype(np.float64)
     h_s = h[order]
 
+    wgt = np.ones(n, np.float64)
     if n:
         starts = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
         counts = np.diff(np.r_[starts, n])
+        rng = np.random.RandomState(0xC5E168)
         for s, c in zip(starts[counts > max_per_cell],
                         counts[counts > max_per_cell]):
-            keep = slice(s, s + max_per_cell)
-            over = slice(s + max_per_cell, s + c)
-            pow_s[keep] += pow_s[over].sum(axis=0) / max_per_cell
-            pow_s[over] = 0.0   # beyond the gather cap: unreachable
+            # over-full cell: keep an UNBIASED RANDOM SAMPLE of its
+            # photons (not the first max_per_cell by hash order — that
+            # erases intra-cell density structure, which the adaptive
+            # k-NN radius search in grid_irradiance depends on), carry
+            # the cell's EXACT total power on the kept reps (rescaled
+            # proportionally), and give each rep weight c/cap so the
+            # k search still counts true photon numbers.
+            m = max_per_cell
+            sel = s + np.sort(rng.choice(c, m, replace=False))
+            tot = pow_s[s:s + c].sum(axis=0)
+            pos_k = pos_s[sel].copy()
+            pow_k = pow_s[sel].copy()
+            dir_k = dir_s[sel].copy()
+            ssum = pow_k.sum(axis=0)
+            for ch in range(3):
+                if ssum[ch] > 0:
+                    pow_k[:, ch] *= tot[ch] / ssum[ch]
+                elif tot[ch] != 0:
+                    pow_k[:, ch] = tot[ch] / m
+            pos_s[s:s + m] = pos_k
+            pow_s[s:s + m] = pow_k
+            dir_s[s:s + m] = dir_k
+            pow_s[s + m:s + c] = 0.0   # beyond the gather cap: unreachable
+            wgt[s:s + m] = c / m
+            wgt[s + m:s + c] = 0.0
 
     return PhotonGrid(
         pos=jnp.asarray(pos_s, jnp.float32),
         power=jnp.asarray(pow_s, jnp.float32),
         dir=jnp.asarray(dir_s, jnp.float32),
+        weight=jnp.asarray(wgt, jnp.float32),
         cell_hash=jnp.asarray(h_s.astype(np.int32)),
         radius=jnp.float32(radius),
         n_valid=jnp.int32(n),
         table_size=int(table_size),
-        max_per_cell=max_per_cell)
+        max_per_cell=max_per_cell,
+        knn=knn)
 
 
-def grid_irradiance(grid: PhotonGrid, p: jax.Array, n: jax.Array) -> jax.Array:
+def grid_irradiance(grid: PhotonGrid, p: jax.Array, n: jax.Array,
+                    chunk: int = 8192) -> jax.Array:
     """Fixed-radius irradiance estimate at points p with normals n.
 
     For each of the 27 neighbor cells: locate the photon run via
     searchsorted on the sorted hash array, gather up to max_per_cell
     photons, accept those within `radius` whose direction opposes the
     normal (PhotonMap.cpp:186), and sum power / (pi r^2).
+
+    Wavefronts larger than `chunk` are processed in lax.map slices: the
+    candidate gather materializes (N, 27, max_per_cell, 3) intermediates
+    (~85 MB per 8192 points at the default cap), so a 262k-lane
+    wavefront would transiently need gigabytes unchunked. Differentiable
+    w.r.t. photon powers either way (lax.map is AD-transparent).
     """
+    nn = p.shape[0]
+    if nn > chunk:
+        n_ch = -(-nn // chunk)
+        n_pad = n_ch * chunk
+        pp = jnp.concatenate([p, jnp.zeros((n_pad - nn, 3), p.dtype)])
+        np_ = jnp.concatenate([n, jnp.ones((n_pad - nn, 3), n.dtype)])
+        out = jax.lax.map(
+            lambda args: grid_irradiance(grid, args[0], args[1], chunk),
+            (pp.reshape(n_ch, chunk, 3), np_.reshape(n_ch, chunk, 3)))
+        return out.reshape(n_pad, 3)[:nn]
     r = grid.radius
     base = jnp.floor(p / r).astype(jnp.int32)          # (N, 3)
     offs = jnp.asarray(np.stack(np.meshgrid([-1, 0, 1], [-1, 0, 1],
@@ -163,13 +208,39 @@ def grid_irradiance(grid: PhotonGrid, p: jax.Array, n: jax.Array) -> jax.Array:
     ppos = grid.pos[idx]                               # (N, 27, K, 3)
     ppow = grid.power[idx]
     pdir = grid.dir[idx]
+    pwgt = grid.weight[idx]                            # (N, 27, K)
 
     d = ppos - p[:, None, None, :]
     d2 = jnp.sum(d * d, axis=-1)
     facing = jnp.sum(pdir * n[:, None, None, :], axis=-1) < 0.0
-    accept = valid & (d2 < r * r) & facing
+    in_r = valid & (d2 < r * r)
+
+    # DENSITY-ADAPTIVE radius (Jensen's k-NN estimate,
+    # PhotonMap.cpp:152-243): shrink the gather disc until it holds
+    # ~knn photons, by 12-step bisection on r'^2 over the candidate
+    # weights (fold weights stand in for the photon COUNT in capped
+    # cells). The k-NN SEARCH is distance-only; the facing filter
+    # applies to the SUM (PhotonMap.cpp:186). Where fewer than knn
+    # photons lie within r, hi stays at r^2 — the fixed-radius estimate
+    # — so sparse regions are unchanged. r' is a discrete-ish quantity:
+    # detached, like the hit selection it parallels.
+    k = jnp.float32(grid.knn)
+    d2s = jax.lax.stop_gradient(d2)
+    wts = jnp.where(jax.lax.stop_gradient(in_r), pwgt, 0.0)
+    lo = jnp.zeros((p.shape[0],), jnp.float32)
+    hi = jnp.full((p.shape[0],), r * r, jnp.float32)
+    for _ in range(12):
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(jnp.where(d2s < mid[:, None, None], wts, 0.0),
+                      axis=(1, 2))
+        ge = cnt >= k
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid)
+    r2 = jax.lax.stop_gradient(hi)
+
+    accept = in_r & (d2 < r2[:, None, None]) & facing
     total = jnp.sum(jnp.where(accept[..., None], ppow, 0.0), axis=(1, 2))
-    return total / (PI * r * r)
+    return total / (PI * r2[:, None])
 
 
 def irradiance_estimate(maps: PhotonMaps, p: jax.Array,
@@ -325,11 +396,16 @@ def trace_photon_batch_sharded(scene: Scene, static: SceneStatic,
 
 
 def _auto_radius(pos: np.ndarray, k_target: int, max_per_cell: int) -> float:
-    """Pick the gather radius so a typical r-disc holds about
-    min(k_target, 4*max_per_cell) photons — approximating the
-    reference's k-NN estimate (k = PHOTON_SAMPLES = 500, Miro.h:17)
-    with the fixed-radius gather, while keeping the per-cell candidate
-    cap effective.
+    """Pick the gather radius so a typical r-disc holds about k_target
+    photons — the reference's k-NN estimate (k = PHOTON_SAMPLES = 500,
+    Miro.h:17) expressed as a fixed radius.
+
+    The per-cell gather cap (max_per_cell) does NOT bound k here: cells
+    past the cap have their overflow power folded into the kept photons
+    at build time (build_grid), so the full ~k_target energy is always
+    reachable — the cap only quantizes folded photons' positions to
+    their cell (error < r*sqrt(3)). test_photon's clustered oracle pins
+    the resulting estimate against a true brute-force k-NN estimate.
 
     Method: subsample m photons, take each one's distance to its
     ceil(k*m/n)-th nearest neighbor within the subsample (density
@@ -338,7 +414,7 @@ def _auto_radius(pos: np.ndarray, k_target: int, max_per_cell: int) -> float:
     n = pos.shape[0]
     if n < 8:
         return 1.0
-    k_eff = int(min(k_target, 4 * max_per_cell))
+    k_eff = int(k_target)
     m = int(min(n, 4000))
     rng = np.random.RandomState(0)
     sub = pos[rng.choice(n, m, replace=False)].astype(np.float64)
@@ -365,7 +441,17 @@ def build_photon_maps(scene: Scene, static: SceneStatic, cfg: RenderConfig,
 
     return_stats=True returns (PhotonMaps, stats_dict) where stats_dict
     holds the -DSTATS photon counters (Stats.h): emitted / stored /
-    bounces per map."""
+    bounces per map.
+
+    DETACHMENT BOUNDARY: this builder rounds photon positions, powers
+    and directions through host numpy (np.asarray at the batch
+    boundary), so the built PhotonMaps is a CONSTANT w.r.t. light and
+    material parameters — d(image)/d(wattage or kd) does NOT flow
+    through photon emission, mirroring the reference's precompute split
+    (preCalc vs render, Scene.cpp:50-84). Gradients DO flow through the
+    gather: d(image)/d(stored photon power) is exact
+    (grid_irradiance is plain jnp; FD-tested in
+    tests/test_grad_oracle.py::test_grad_photon_power)."""
     if path_tracing is None:
         path_tracing = cfg.path_tracing
     kinds = np.asarray(scene.lights.kind)
@@ -411,13 +497,21 @@ def build_photon_maps(scene: Scene, static: SceneStatic, cfg: RenderConfig,
                          caustic=caustic,
                          depth_limit=cfg.trace_depth_photons,
                          path_tracing=path_tracing, key=sk)
-                m = np.asarray(out.mask).reshape(-1)
+                m2 = np.asarray(out.mask)
+                m = m2.reshape(-1)
                 all_pos.append(np.asarray(out.pos).reshape(-1, 3)[m])
                 all_dir.append(np.asarray(out.dir).reshape(-1, 3)[m])
                 all_pow.append(np.asarray(out.power).reshape(-1, 3)[m])
                 li_stored += int(m.sum())
                 total_emitted += batch
                 stats[name]["bounces"] += int(np.asarray(out.bounces).sum())
+                # DEBUG_PHOTONS-style ledger (Scene.cpp:20-30): how many
+                # photons stored at each bounce depth
+                per_level = m2.sum(axis=1).astype(int).tolist()
+                acc = stats[name].setdefault("stored_per_level",
+                                             [0] * len(per_level))
+                for d_, c_ in enumerate(per_level):
+                    acc[d_] += c_
                 it += 1
             stored += li_stored
         stats[name]["emitted"] = total_emitted
@@ -432,6 +526,7 @@ def build_photon_maps(scene: Scene, static: SceneStatic, cfg: RenderConfig,
         radius = _auto_radius(pos, cfg.photon_samples,
                               cfg.photon_grid_max_per_cell)
         maps[caustic] = build_grid(pos, pows, dirs, radius,
-                                   cfg.photon_grid_max_per_cell)
+                                   cfg.photon_grid_max_per_cell,
+                                   knn=cfg.photon_samples)
     pm = PhotonMaps(global_map=maps[False], caustic_map=maps[True])
     return (pm, stats) if return_stats else pm

@@ -99,6 +99,12 @@ def process_tile_rows(height: int, mesh: Mesh):
     ids = sorted(np.where(np.isin(mesh.devices.flat, locals_))[0])
     if not ids:
         return 0, 0
+    # the (row0, n_rows) contract only holds when this process' devices
+    # occupy CONTIGUOUS mesh positions (true for the default
+    # jax.devices() order, which groups by process) — fail loudly on
+    # exotic interleaved layouts instead of misreporting ownership
+    assert int(ids[-1]) - int(ids[0]) + 1 == len(ids), (
+        f"process devices not contiguous in mesh: positions {ids}")
     return int(ids[0]) * h_loc, len(ids) * h_loc
 
 

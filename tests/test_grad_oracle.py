@@ -366,3 +366,55 @@ def test_grad_wrt_env_texels():
     # full-texel FD over 96 entries is cheap at 12x12
     g_fd = central_diff(loss_np, np.asarray(img0), 1e-2)
     np.testing.assert_allclose(g, g_fd, rtol=8e-2, atol=2e-3)
+
+
+def test_grad_photon_power():
+    """d(image)/d(stored photon power) through the photon-map gather
+    (PhotonMap.cpp:136-141 estimator; grid_irradiance is plain jnp and
+    fully differentiable in the stored powers). The map itself is a
+    constant w.r.t. light/material parameters — the build detaches at
+    the host boundary (build_photon_maps docstring) — so the oracle
+    perturbs the STORED powers, the exact surface BASELINE.json's
+    differentiable indirect pass needs."""
+    from cse168_raytracer_tpu.models.geometry import make_plane_pool
+    from cse168_raytracer_tpu.models.lights import LIGHT_DIRECTIONAL_AREA
+    from cse168_raytracer_tpu.models.materials import MaterialBuilder
+    from cse168_raytracer_tpu.models.scene import make_scene
+    from cse168_raytracer_tpu.ops.photon import build_photon_maps
+    from cse168_raytracer_tpu.scenes.registry import make_camera
+
+    mb = MaterialBuilder()
+    white = mb.phong(kd=(0.8, 0.8, 0.8))
+    planes = make_plane_pool([(0, 0, 0), (0, 4, 0)],
+                             [(0, 1, 0), (0, -1, 0)], [white, white])
+    lights = [dict(kind=LIGHT_DIRECTIONAL_AREA, position=(0, 3, 0),
+                   normal=(0, -1, 0), radius=1.0,
+                   color=(1, 1, 1), wattage=100.0)]
+    scene, static = make_scene(planes=planes, materials=mb.build(),
+                               lights=lights)
+    cam = make_camera(eye=(0, 2, 6), look_at=(0, 1, 0), fov=60,
+                      bg_color=(0, 0, 0))
+    cfg = RenderConfig(width=8, height=8, trace_depth=1,
+                       photons_per_light=1500,
+                       caustic_photons_per_light=0)
+    maps = build_photon_maps(scene, static, cfg, jax.random.key(1))
+    assert maps is not None and maps.global_map is not None
+    key = jax.random.key(0)
+    render = jax.jit(render_hdr, static_argnames=("static", "cfg"))
+
+    # scale the stored powers by a learnable per-channel gain: the
+    # adjoint sums d(image)/d(power) against the stored powers, probing
+    # every gather path at once
+    def f(gain):
+        g = maps.global_map
+        m = maps.replace(global_map=g.replace(
+            power=g.power * jnp.asarray(gain)[None, :]))
+        hdr, _ = render(scene.replace(photons=m), static, cam, cfg, key)
+        return jnp.sum(hdr)
+
+    gain0 = np.ones(3, np.float32)
+    g_ad = np.asarray(jax.grad(lambda g: f(g))(jnp.asarray(gain0)))
+    g_fd = central_diff(lambda g: float(f(g)), gain0, 1e-2)
+    assert g_ad.shape == (3,)
+    assert np.all(np.abs(g_ad) > 0), "photon gather must carry gradient"
+    np.testing.assert_allclose(g_ad, g_fd, rtol=2e-2, atol=1e-4)

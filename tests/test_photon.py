@@ -129,7 +129,10 @@ def test_overflow_cells_preserve_energy():
     power = np.abs(rng.normal(1.0, 0.2, (n, 3))).astype(np.float32)
     dirs = np.tile(np.array([0.0, -1.0, 0.0], np.float32), (n, 1))
     r = 1.0
-    grid = build_grid(pos, power, dirs, radius=r, max_per_cell=16)
+    # knn past the photon count pins the FIXED-radius estimator (the
+    # adaptive k-NN shrink is exercised by the 500-NN test below)
+    grid = build_grid(pos, power, dirs, radius=r, max_per_cell=16,
+                      knn=1 << 30)
     # total power in the grid must equal the input exactly
     np.testing.assert_allclose(np.asarray(grid.power).sum(0), power.sum(0),
                                rtol=1e-5)
@@ -156,7 +159,8 @@ def test_clustered_gather_matches_bruteforce():
     power = np.full((n, 3), 1.0 / n, np.float32)
     dirs = np.tile(np.array([0.0, -1.0, 0.0], np.float32), (n, 1))
     r = 0.35
-    grid = build_grid(pos, power, dirs, radius=r, max_per_cell=64)
+    grid = build_grid(pos, power, dirs, radius=r, max_per_cell=64,
+                      knn=1 << 30)   # fixed-radius mode (see above)
     q = blobs[:4].astype(np.float32)
     nrm = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (4, 1))
     est = np.asarray(grid_irradiance(grid, jnp.asarray(q), jnp.asarray(nrm)))
@@ -239,3 +243,84 @@ def test_sharded_photon_emission_matches_total_energy():
     per_dev = mask.reshape(mask.shape[0], n_dev, -1).sum(axis=(0, 2))
     assert (per_dev > 0).all()
     assert len(set(per_dev.tolist())) > 1
+
+
+def test_auto_radius_targets_500nn_estimate():
+    """The fixed-radius estimate at the _auto_radius(k=500) radius must
+    track the reference's true 500-NN estimate (PhotonMap.cpp:136-243,
+    Miro.h:16-17): irradiance = sum(P_k) / (pi r_500^2) over the 500
+    nearest photons. The per-cell cap folds overflow power instead of
+    dropping it, so density hotspots stay comparable."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cse168_raytracer_tpu.ops.photon import (_auto_radius, build_grid,
+                                                 grid_irradiance)
+    rng = np.random.default_rng(11)
+    # photons on a plane with a density hotspot (caustic-like)
+    n_bg, n_hot = 12000, 6000
+    bg = np.stack([rng.uniform(-4, 4, n_bg), np.zeros(n_bg),
+                   rng.uniform(-4, 4, n_bg)], 1)
+    hot = np.stack([rng.normal(0, 0.25, n_hot), np.zeros(n_hot),
+                    rng.normal(0, 0.25, n_hot)], 1)
+    pos = np.concatenate([bg, hot]).astype(np.float32)
+    n = pos.shape[0]
+    power = rng.uniform(0.5, 1.5, (n, 1)).astype(np.float32) / n
+    power = np.repeat(power, 3, 1)
+    dirs = np.tile(np.array([0.0, -1.0, 0.0], np.float32), (n, 1))
+
+    r = _auto_radius(pos, 500, 64)
+    # the radius really holds ~500 photons at a typical point
+    d2c = ((pos - pos[rng.integers(0, n, 64)][:, None]) ** 2).sum(-1)
+    within = (d2c < r * r).sum(1)
+    assert 150 < np.median(within) < 1500
+
+    grid = build_grid(pos, power, dirs, r, max_per_cell=64, knn=500)
+    q = np.array([[0.0, 0.0, 0.0],        # hotspot center (cap binds)
+                  [2.0, 0.0, 2.0],        # background
+                  [0.6, 0.0, 0.0]], np.float32)
+    nrm = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (3, 1))
+    est = np.asarray(grid_irradiance(grid, jnp.asarray(q),
+                                     jnp.asarray(nrm)))
+    for i in range(3):
+        d2 = ((pos - q[i]) ** 2).sum(1)
+        idx = np.argsort(d2)[:500]
+        r500 = np.sqrt(d2[idx[-1]])
+        knn = power[idx].sum(0) / (np.pi * r500 * r500)
+        # the adaptive gather shrinks its disc to ~500 photons, so it
+        # tracks the reference's k-NN estimate even across the ~30x
+        # density contrast (fold-weight counting keeps capped cells
+        # comparable)
+        np.testing.assert_allclose(est[i], knn, rtol=0.35)
+
+
+def test_photon_visualization_overlay():
+    """-DVISUALIZE_PHOTON_MAP analog (Scene.cpp:405-409,586-591):
+    stored photons project through the camera onto the frame; photons
+    on the floor plane between the walls must land inside the image."""
+    import jax
+    import numpy as np
+    from cse168_raytracer_tpu.config import RenderConfig
+    from cse168_raytracer_tpu.ops.photon import build_photon_maps
+    from cse168_raytracer_tpu.render.photon_viz import (photon_overlay,
+                                                        project_points)
+    scene, static, cam = _two_plane_photon_scene()
+    cfg = RenderConfig(width=48, height=48, trace_depth=2,
+                       photons_per_light=1500,
+                       caustic_photons_per_light=0)
+    maps = build_photon_maps(scene, static, cfg, jax.random.key(1))
+    assert maps is not None and maps.global_map is not None
+    base = np.zeros((48, 48, 3), np.uint8)
+    ov = photon_overlay(base, cam, maps, 48, 48)
+    green = (ov[:, :, 1] > 200) & (ov[:, :, 0] < 100)
+    assert green.sum() > 20, "photon dots must appear in-frame"
+    # projection inverts eye_rays: a point straight down the view axis
+    # lands at the image center
+    import jax.numpy as jnp
+    center = np.asarray(cam.eye + cam.view_dir * 5.0)[None]
+    xy, vis = project_points(cam, center, 48, 48)
+    assert vis[0]
+    assert abs(int(xy[0, 0]) - 24) <= 1 and abs(int(xy[0, 1]) - 24) <= 1
+    # points behind the camera are invisible
+    behind = np.asarray(cam.eye - cam.view_dir * 5.0)[None]
+    _, vis_b = project_points(cam, behind, 48, 48)
+    assert not vis_b[0]
