@@ -179,15 +179,15 @@ def pack_triangles(meshes: list[tuple[dict, int]], block: int = 128,
                                   has_uv, mat, valid)
 
 
-def build_pack_from_arrays(v0, e1, e2, n0, n1, n2, t0, t1, t2,
-                           has_uv, mat, valid) -> TrianglePack:
-    """Assemble the Pluecker operands (differentiable w.r.t. vertices
-    when called with jnp inputs — geometry gradients flow through w6/w4)."""
+def plucker_operands(v0, e1, e2, n_geo=None):
+    """The matmul intersector's operands from raw triangle data:
+    w6 (6, T, 3) rows [d(0:3), m(3:6)], columns [beta, gamma, den];
+    w4 (4, T) for the t numerator. Differentiable under jnp inputs."""
     xp = jnp if isinstance(v0, jax.Array) else np
-    n_geo = xp.cross(e1, e2)
+    if n_geo is None:
+        n_geo = xp.cross(e1, e2)
     a_x_e2 = xp.cross(v0, e2)
     e1_x_a = xp.cross(e1, v0)
-    # w6 rows: [d(0:3), m(3:6)]; columns grouped [beta, gamma, den] per tri
     w6 = xp.stack([
         xp.stack([a_x_e2[:, 0], e1_x_a[:, 0], -n_geo[:, 0]], axis=-1),
         xp.stack([a_x_e2[:, 1], e1_x_a[:, 1], -n_geo[:, 1]], axis=-1),
@@ -198,15 +198,38 @@ def build_pack_from_arrays(v0, e1, e2, n0, n1, n2, t0, t1, t2,
     ], axis=0)  # (6, T, 3)
     w4 = xp.stack([n_geo[:, 0], n_geo[:, 1], n_geo[:, 2],
                    -xp.sum(v0 * n_geo, axis=-1)], axis=0)  # (4, T)
+    return w6, w4
+
+
+def build_pack_from_arrays(v0, e1, e2, n0, n1, n2, t0, t1, t2,
+                           has_uv, mat, valid,
+                           upload_plucker: bool = True) -> TrianglePack:
+    """Assemble the Pluecker operands (differentiable w.r.t. vertices
+    when called with jnp inputs — geometry gradients flow through w6/w4).
+
+    upload_plucker=False keeps w6/w4 as HOST numpy arrays in the pack:
+    the Pallas accelerators consume them only host-side (leafW packing)
+    and never on device, and at bunny20 scale they are ~450 MB whose
+    host->device transfer over the tunnel costs ~15 s. Callers that go
+    that route must strip them (pack._replace(w6=None, w4=None)) before
+    the pack enters jit, or every call re-uploads them."""
+    xp = jnp if isinstance(v0, jax.Array) else np
+    n_geo = xp.cross(e1, e2)
+    w6, w4 = plucker_operands(v0, e1, e2, n_geo=n_geo)
 
     f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+    if upload_plucker:
+        w6u, w4u = f32(w6), f32(w4)
+    else:
+        w6u = np.asarray(w6, np.float32)
+        w4u = np.asarray(w4, np.float32)
     return TrianglePack(
         v0=f32(v0), e1=f32(e1), e2=f32(e2), n_geo=f32(n_geo),
         n0=f32(n0), n1=f32(n1), n2=f32(n2),
         t0=f32(t0), t1=f32(t1), t2=f32(t2),
         has_uv=jnp.asarray(has_uv, dtype=bool),
         material_id=jnp.asarray(mat, dtype=jnp.int32),
-        w6=f32(w6), w4=f32(w4),
+        w6=w6u, w4=w4u,
         valid=jnp.asarray(valid, dtype=bool),
     )
 

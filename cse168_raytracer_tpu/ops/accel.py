@@ -168,7 +168,8 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
         # cap; bigger scenes keep ONE whole-scene tree but leave leaf
         # tables in HBM (per-leaf DMA in the kernel)
         n_tris = int(np.asarray(scene.tris.valid).sum())
-        if jax.default_backend() != "tpu":
+        if jax.default_backend() != "tpu" or n_tris == 0:
+            # all-sphere/plane scenes have no triangle tree to build
             kind = "block"
         else:
             # 4-wide collapsed tree wins the TPU A/B (see pallas_bvh).

@@ -97,8 +97,16 @@ def _intersect_triangles_impl(pack: TrianglePack, o: jax.Array, d: jax.Array,
     tmin = jnp.broadcast_to(jnp.asarray(tmin, o.dtype), (n,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, o.dtype), (n,))
 
-    w6 = pack.w6.reshape(6, n_blocks, tb, 3)
-    w4 = pack.w4.reshape(4, n_blocks, tb)
+    if pack.w6 is None:
+        # Pallas-built packs strip the Pluecker operands (they live on
+        # in the leafW tables; see build_pack_from_arrays) — rebuild
+        # them on the fly for this brute-force path
+        from cse168_raytracer_tpu.models.geometry import plucker_operands
+        w6f, w4f = plucker_operands(pack.v0, pack.e1, pack.e2)
+    else:
+        w6f, w4f = pack.w6, pack.w4
+    w6 = w6f.reshape(6, n_blocks, tb, 3)
+    w4 = w4f.reshape(4, n_blocks, tb)
     valid = pack.valid.reshape(n_blocks, tb)
 
     def body(carry, blk):

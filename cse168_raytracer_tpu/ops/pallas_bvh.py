@@ -1,40 +1,45 @@
-"""Pallas BVH traversal kernel — the speed-of-light accelerator on TPU.
+"""Pallas BVH traversal kernels — the speed-of-light accelerators on
+TPU (BVH.cpp:438-658 semantics; PERF.md carries the measurements).
 
-This is the hardware-shaped version of the packet traversal in
-ops/packet.py (same implicit LBVH, same Pluecker leaf math,
-BVH.cpp:438-658 semantics). The XLA formulations pay two TPU taxes this
-kernel avoids:
+Three accelerator shapes share two kernels:
+  * PallasBVH   — binary SAH tree, whole tree + leaf tables VMEM-
+                  resident (A/B baseline, kind="pallas_sah");
+  * PallasBVH4  — the same tree collapsed two levels at a time into
+                  4-wide nodes: the TPU default up to ~300k tris;
+  * PallasBVHHBM — one whole-scene 4-wide tree with inner nodes in
+                  VMEM and leaf tables left in HBM, DMA'd per leaf
+                  visit (~8 KB each): the default past the VMEM cap.
+                  (PallasBVHForest — Morton-chunked VMEM sub-trees —
+                  predates it and is kept for A/B.)
 
-  * lockstep: a lax.while_loop advances EVERY tile every iteration, so
-    all tiles pay for the worst straggler. Here each ray tile is one
-    grid program owning a private scalar while-loop — a finished tile
-    costs nothing.
-  * gather: XLA gathers cost ~10 ns/row. Here node/leaf fetches are
-    dynamic VMEM slices (the whole tree + leaf table is VMEM-resident;
-    v5e has 128 MB of VMEM — measured, a 100 MB buffer compiles and
-    runs, so scenes up to ~380k triangles fit; bunny20-scale needs the
-    HBM-streaming variant, future work).
+Why not XLA formulations (ops/packet.py): a lax.while_loop advances
+EVERY ray tile each iteration (all tiles pay the worst straggler), and
+XLA gathers cost ~10 ns/row. Here each T-ray subtile is walked by a
+private scalar while-loop inside a grid program; node/leaf fetches are
+dynamic VMEM slices or explicit DMA.
 
-Kernel anatomy (per 128-ray tile program):
-  * rays arrive twice, in the two layouts the hardware wants:
-      r8  (T, 8)  cols [ox oy oz  1/dx 1/dy 1/dz  tmin tmax],
-                  transposed in-kernel to (8, T) rows so slab tests are
-                  (12, T) VPU rows, rays on lanes;
-      rmat (T,16) rows [d(3) m(3) o(3) 1 tmin tmax 0...]
-                  -> leaf test is ONE (T,16)@(16,128) MXU matmul.
-  * cbox (Ni,16) rows [loL hiL loR hiR pad]: a node visit reads one row,
-    reshapes it to a (16,1) column and broadcasts against precomputed
-    (12,T) origin/reciprocal planes — both children slab-tested in ~2
-    VREG ops (the reference's 2-box SSE trick, BVH.cpp:513-584, at
-    128-lane width).
-  * leafW (L,16,128): planar output columns [beta(K) gamma(K) den(K)
-    t(K)] for K=32 triangles; acceptance + running-min on the VPU
-    (Triangle.cpp:152-158 semantics, identical operands to
-    ops/intersect.py so results match the brute-force path bit-for-bit
-    up to matmul precision).
-  * the traversal stack lives in SMEM scalars; ordered descent
-    (near child popped first) with entry-t pruning against the tile's
-    worst live best-t.
+Kernel anatomy (per T-ray subtile walk; GSUB subtiles per grid
+program, Mosaic wants >= 8-sublane output blocks):
+  * ray operands arrive HOST-TRANSPOSED (components on sublanes, rays
+    on lanes — _stage_rays): r8T (8, T) rows [o(3) 1/d(3) tmin tmax]
+    feed the slab tests as (12, T) VPU rows; rmatT (16, T) rows
+    [d(3) m(3) o(3) 1 tmin tmax 0(4)] is the leaf-matmul operand.
+  * internal visit (BVH4): plane-grouped cbox rows (lo_x(4) lo_y(4)
+    lo_z(4) hi... — _collapse_to_bvh4) slab-test all 4 slots as
+    aligned (4, T) groups; the four hit bits leave the VPU in ONE
+    lane-reduce + weighted-sum bitmask; pushes decode it with scalar
+    shifts (the reference's 2-box SSE trick, BVH.cpp:513-584, at
+    128-lane width and 4-way branching).
+  * leaf visit: dot_general contracts leafW (16, 4K) with rmatT
+    (16, T) on the 16-axis -> (4K, T) planar sublane groups
+    [beta|gamma|den|t] with rays still on lanes, so acceptance +
+    running-min (Triangle.cpp:152-158 semantics, operands identical to
+    ops/intersect.py) never crosses lanes and sublanes. On the HBM
+    variant the leaf block is make_async_copy'd into VMEM scratch
+    first.
+  * the traversal stack lives in SMEM scalars; pushes are unsorted
+    (ordered descent and entry-t pruning lost their A/Bs at tile
+    width — the pruning the kernel keeps is best-t shrinking curmax).
 
 Traversal inputs are gradient-stopped (ops/intersect.py detach_tri_hit
 rationale).
@@ -110,16 +115,24 @@ jax.tree_util.register_pytree_node(PallasBVH, _pb_flatten, _pb_unflatten)
 
 def _leafW_from_pack(pack: TrianglePack, n_leaves: int) -> np.ndarray:
     """Leaf matmul operands with planar output columns
-    [beta(K) | gamma(K) | den(K) | t(K)] from a LEAF-ORDERED pack."""
+    [beta(K) | gamma(K) | den(K) | t(K)] from a LEAF-ORDERED pack.
+
+    The first three K-groups are one transpose: viewing leafW's
+    [0:6, 0:3K] block as (L, 6, 3, K), it equals w6 (6, L, K, 3)
+    transposed (1, 0, 3, 2). Writing groups separately with
+    .transpose(1, 0, 2) per plane made numpy walk 514 MB with
+    pathological strides — 40 s at bunny20 scale vs ~3 s for the
+    single-copy form."""
     w6 = np.asarray(pack.w6)                    # (6, T, 3) [b, g, d] cols
     w4 = np.asarray(pack.w4)                    # (4, T)
     leafW = np.zeros((n_leaves, 16, 4 * K), np.float32)
     w6l = w6.reshape(6, n_leaves, K, 3)
-    leafW[:, 0:6, 0:K] = w6l[..., 0].transpose(1, 0, 2)        # beta num
-    leafW[:, 0:6, K:2 * K] = w6l[..., 1].transpose(1, 0, 2)    # gamma num
-    leafW[:, 0:6, 2 * K:3 * K] = w6l[..., 2].transpose(1, 0, 2)  # den
-    leafW[:, 6:10, 3 * K:4 * K] = (w4.reshape(4, n_leaves, K)
-                                   .transpose(1, 0, 2))        # t num
+    # full-array reshape is a VIEW (a reshape of a slice would silently
+    # copy and drop the writes); lane dim viewed as (group, K)
+    leafW4 = leafW.reshape(n_leaves, 16, 4, K)
+    leafW4[:, 0:6, 0:3, :] = w6l.transpose(1, 0, 3, 2)
+    leafW4[:, 6:10, 3, :] = (w4.reshape(4, n_leaves, K)
+                             .transpose(1, 0, 2))              # t num
     return leafW
 
 
@@ -128,7 +141,8 @@ def build_pallas_bvh_sah(pack: TrianglePack):
     PallasBVH). This is the default accelerator construction — the SAH
     tree does ~2-4x fewer node visits than the Morton-implicit tree."""
     from cse168_raytracer_tpu.ops.sah import sah_build_and_reorder
-    new_pack, nodes14, n_leaves, depth = sah_build_and_reorder(pack, K)
+    new_pack, nodes14, n_leaves, depth = sah_build_and_reorder(
+        pack, K, upload_plucker=False)
     cbox = np.zeros((nodes14.shape[0], 16), np.float32)
     cbox[:, :14] = nodes14
     accel = PallasBVH(cbox=jnp.asarray(cbox),
@@ -137,7 +151,9 @@ def build_pallas_bvh_sah(pack: TrianglePack):
                       n_nodes=int(nodes14.shape[0]),
                       n_leaves=int(n_leaves),
                       stack_depth=int(max(4, depth + 3)))
-    return new_pack, accel
+    # w6/w4 live on in leafW only; don't ship ~450 MB of dead operands
+    # to the device (see build_pack_from_arrays)
+    return new_pack._replace(w6=None, w4=None), accel
 
 
 def build_pallas_bvh(pack: TrianglePack) -> PallasBVH:
@@ -564,9 +580,10 @@ def build_pallas_bvh_forest(pack: TrianglePack,
         cat(lambda p: p.n0), cat(lambda p: p.n1), cat(lambda p: p.n2),
         cat(lambda p: p.t0), cat(lambda p: p.t1), cat(lambda p: p.t2),
         cat(lambda p: p.has_uv), cat(lambda p: p.material_id),
-        cat(lambda p: p.valid))
-    return new_pack, PallasBVHForest(chunks=tuple(accels),
-                                     starts=tuple(starts))
+        cat(lambda p: p.valid), upload_plucker=False)
+    # w6/w4 live on in the chunk leafW tables only
+    return (new_pack._replace(w6=None, w4=None),
+            PallasBVHForest(chunks=tuple(accels), starts=tuple(starts)))
 
 
 def forest_closest_hit_triangles(forest: PallasBVHForest, o, d, tmin,
@@ -749,7 +766,8 @@ def build_pallas_bvh4_sah(pack: TrianglePack):
     """SAH build collapsed to 4-wide (leaf table identical to the
     2-wide build; only the inner-node topology changes)."""
     from cse168_raytracer_tpu.ops.sah import sah_build_and_reorder
-    new_pack, nodes14, n_leaves, _depth = sah_build_and_reorder(pack, K)
+    new_pack, nodes14, n_leaves, _depth = sah_build_and_reorder(
+        pack, K, upload_plucker=False)
     cbox4, depth4 = _collapse_to_bvh4(nodes14.astype(np.float32))
     accel = PallasBVH4(cbox=jnp.asarray(cbox4),
                        leafW=jnp.asarray(_leafW_from_pack(new_pack,
@@ -757,7 +775,8 @@ def build_pallas_bvh4_sah(pack: TrianglePack):
                        n_nodes=int(cbox4.shape[0]),
                        n_leaves=int(n_leaves),
                        stack_depth=int(3 * depth4 + 6))
-    return new_pack, accel
+    # w6/w4 live on in leafW only (see build_pack_from_arrays)
+    return new_pack._replace(w6=None, w4=None), accel
 
 
 class PallasBVHHBM(NamedTuple):

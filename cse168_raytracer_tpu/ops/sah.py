@@ -145,12 +145,16 @@ def _sah_numpy(lo, hi, cent, leaf_cap):
     return np.stack(nodes), np.stack(leaves), max_depth[0]
 
 
-def sah_build_and_reorder(pack: TrianglePack, leaf_cap: int = 32):
+def sah_build_and_reorder(pack: TrianglePack, leaf_cap: int = 32,
+                          upload_plucker: bool = True):
     """Build the SAH tree for `pack` and re-order it into leaf blocks.
 
     Returns (new_pack, nodes (Nn, 14) f32, n_leaves, max_depth). The
     new pack has n_leaves*leaf_cap rows; padding rows are degenerate
     (all-zero vertices -> den = 0, never hit) and valid=False.
+    upload_plucker=False keeps w6/w4 host-side (see
+    geometry.build_pack_from_arrays) — the Pallas builders use them for
+    leafW packing only and then strip them.
     """
     valid = np.asarray(pack.valid)
     v0 = np.asarray(pack.v0, np.float64)[valid]
@@ -183,5 +187,5 @@ def sah_build_and_reorder(pack: TrianglePack, leaf_cap: int = 32):
         g3(pack.t0), g3(pack.t1), g3(pack.t2),
         np.where(pad, False, np.asarray(pack.has_uv)[src]),
         np.where(pad, 0, np.asarray(pack.material_id)[src]),
-        new_valid)
+        new_valid, upload_plucker=upload_plucker)
     return new_pack, nodes, leaf_tris.shape[0], depth
