@@ -83,16 +83,23 @@ def _cmd_render(args) -> int:
         mesh = dist.global_mesh()
         print(f"[mesh] {mesh.size} devices over {jax.process_count()} "
               f"process(es)", file=sys.stderr)
+        if cfg.height % mesh.size != 0:
+            print(f"error: --height {cfg.height} must be divisible by "
+                  f"the device count ({mesh.size}) for row sharding",
+                  file=sys.stderr)
+            return 2
         render = jax.jit(lambda s, c, k: render_hdr_sharded(
             s, static, c, cfg, k, mesh))
         t0 = time.time()
         hdr = jax.block_until_ready(render(scene, cam, key))
         print(f"[render] sharded compile+run {time.time() - t0:.2f}s",
               file=sys.stderr)
-        t0 = time.time()
-        hdr = jax.block_until_ready(render(scene, cam, key))
-        print(f"[render] steady-state {time.time() - t0:.3f}s",
-              file=sys.stderr)
+        if args.bench:
+            # steady-state timing costs a full second render: opt-in
+            t0 = time.time()
+            hdr = jax.block_until_ready(render(scene, cam, key))
+            print(f"[render] steady-state {time.time() - t0:.3f}s",
+                  file=sys.stderr)
         img_np = dist.gather_image(hdr)
         if proc == 0:
             img = to_bytes(tonemap(jax.numpy.asarray(img_np), args.tonemap))
@@ -213,6 +220,8 @@ def main(argv=None) -> int:
     r.add_argument("--caustic-photons", type=int, default=0)
     r.add_argument("--no-photon-map", action="store_true")
     r.add_argument("--stats", action="store_true", help="-DSTATS counters")
+    r.add_argument("--bench", action="store_true",
+                   help="time a second steady-state render (sharded path)")
     r.add_argument("--visualize-photons", default=None, metavar="PATH",
                    help="write a photon-overlay PNG "
                         "(-DVISUALIZE_PHOTON_MAP analog)")

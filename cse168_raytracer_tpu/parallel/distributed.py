@@ -89,8 +89,12 @@ def global_mesh(axis: str = "tiles") -> Mesh:
 
 
 def process_tile_rows(height: int, mesh: Mesh):
-    """Which image rows this process' devices own under
-    render_hdr_sharded's row sharding: (row0, n_rows)."""
+    """This process' row span in render_hdr_sharded's SHARDED buffer:
+    (row0, n_rows). Rows are assigned to devices CYCLICALLY in image
+    space (device d computes image rows d, d+n, ...), so this span
+    indexes the pre-de-interleave buffer, not contiguous image rows;
+    the returned n_rows is still exactly this process' share of the
+    work."""
     n_dev = mesh.size
     assert height % n_dev == 0
     h_loc = height // n_dev
