@@ -390,6 +390,9 @@ def trace_photon_batch_sharded(scene: Scene, static: SceneStatic,
                              power=P(None, axis, None),
                              mask=P(None, axis),
                              bounces=P())
+    # check_vma=False for the same documented reason as
+    # parallel/sharding.py: the checker demands pvary on scan-carry
+    # constants inside trace_photon_batch, which also runs unsharded
     fn = shard_map(emit, mesh=mesh, in_specs=(P(), P()),
                    out_specs=out_specs, check_vma=False)
     return fn(scene, key)

@@ -99,11 +99,20 @@ def render_hdr_sharded(scene: Scene, static: SceneStatic, cam: Camera,
                              disable_shadows=cfg.disable_shadows)
         return r.reshape(h_loc, w, 3)
 
-    # check_vma=False: the tile body mixes replicated carries (radiance
-    # accumulators initialized to zeros) with tile-varying ray state
-    # inside lax.scan; the varying-axis checker would demand explicit
-    # pcasts. The computation is embarrassingly parallel over "tiles"
-    # and the in/out specs fully describe the sharding for AD.
+    # check_vma=False — a DOCUMENTED DECISION, not an oversight. With
+    # the checker on, it demands `jax.lax.pvary(..., 'tiles')` on every
+    # traversal/integrator scan-carry INIT (fresh zeros/_BIG constants
+    # deep inside ops/intersect.py, ops/bvh.py, render/integrator.py).
+    # Those functions also run OUTSIDE any mesh, where pvary('tiles')
+    # is invalid — satisfying the checker would couple shared library
+    # internals to shard_map context (or duplicate them). The body is
+    # embarrassingly parallel over "tiles" (each tile computes its own
+    # rows from axis_index, no cross-tile communication), the constants
+    # the checker flags are value-identical on every tile, and the
+    # in/out specs fully describe the sharding for AD — the gradient
+    # psum this spec layout induces is exercised by
+    # tests/test_parallel.py::test_train_step_* and the two-process
+    # test compares output bit-for-bit against single-process.
     fn = shard_map(tile_fn, mesh=mesh,
                    in_specs=(P(), P(), P()),
                    out_specs=P("tiles", None, None),
