@@ -409,7 +409,7 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
         pl.BlockSpec((1, GSUB, 16, T), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    leafW_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if hbm
+    leafW_spec = (pl.BlockSpec(memory_space=pl.ANY) if hbm
                   else pl.BlockSpec(accel.leafW.shape, lambda i: (0, 0, 0),
                                     memory_space=pltpu.VMEM))
     rt_spec = pl.BlockSpec((1, GSUB, T), lambda i: (i, 0, 0),
@@ -434,8 +434,10 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
             pltpu.SMEM((s,), jnp.int32),
             pltpu.SMEM((s,), jnp.float32),
         ] + ([
-            pltpu.VMEM((16, 4 * K), jnp.float32),  # leaf DMA landing pad
-            pltpu.SemaphoreType.DMA(()),
+            # 2-slot leaf DMA landing pads + per-slot semaphores (the
+            # 1-deep pipeline alternates slots; see _traverse4_one)
+            pltpu.VMEM((2, 16, 4 * K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ] if hbm else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
@@ -898,11 +900,7 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
     bitw = (1 << jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
             ).astype(jnp.float32)
 
-    def body(sp):
-        sp = sp - 1
-        node = stack_i[sp]
-
-        def do_internal(sp):
+    def do_internal(node, sp):
             if stats_refs is not None:
                 stats_refs[0][0, t_idx, :] = stats_refs[0][0, t_idx, :] + 1
             best = out_t_ref[0, t_idx, :].reshape(1, T)
@@ -938,25 +936,12 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                 sp = sp + ((mask >> i) & 1)
             return sp
 
-        def do_leaf(sp):
-            if stats_refs is not None:
-                stats_refs[1][0, t_idx, :] = stats_refs[1][0, t_idx, :] + 1
-            leaf = -node - 1
-            if leaf_dma is not None:
-                # HBM-resident leaf table: copy this leaf's operand
-                # block into VMEM scratch (~8 KB) before the matmul
-                lw_scratch, lw_sem = leaf_dma
-                dma = pltpu.make_async_copy(leafW_ref.at[leaf],
-                                            lw_scratch, lw_sem)
-                dma.start()
-                dma.wait()
-                w = lw_scratch[:]                          # (16, 128)
-            else:
-                w = leafW_ref[leaf]                        # (16, 128)
+    def shade_leaf(leaf, w, sp):
+            """Acceptance + best-t update for leaf's operand block w."""
             nums = jax.lax.dot_general(
                 w, rmatT, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=_LEAF_PRECISION)                 # (128, T)
+                precision=_LEAF_PRECISION)                 # (4K, T)
             b_n = nums[0:K]                                # (K, T) each
             g_n = nums[K:2 * K]
             den = nums[2 * K:3 * K]
@@ -989,6 +974,76 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                 sp = jnp.where(jnp.all(occ_or_dead), 0, sp)
             return sp
 
-        return jax.lax.cond(node >= 0, do_internal, do_leaf, sp)
+    if leaf_dma is None:
+        def body(sp):
+            sp = sp - 1
+            node = stack_i[sp]
 
-    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
+            def do_leaf(sp):
+                if stats_refs is not None:
+                    stats_refs[1][0, t_idx, :] = \
+                        stats_refs[1][0, t_idx, :] + 1
+                leaf = -node - 1
+                return shade_leaf(leaf, leafW_ref[leaf], sp)
+
+            return jax.lax.cond(node >= 0,
+                                lambda s: do_internal(node, s),
+                                do_leaf, sp)
+
+        jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
+        return
+
+    # ---- HBM leaf tables: 1-deep DMA pipeline ----
+    # A leaf pop STARTS its ~8 KB HBM->VMEM copy into the idle scratch
+    # slot and processes the PREVIOUS leaf (whose copy has been in
+    # flight since its own pop) — the DMA latency hides behind the
+    # interleaved node visits and the previous leaf's matmul instead of
+    # stalling every leaf visit. At most one copy is in flight; slots
+    # alternate, so the slot being read is never the one being filled.
+    # Deferred processing only ever sees a LATER (tighter) best-t, so
+    # closest-hit results are identical; the any-hit early-out fires at
+    # most one visit later.
+    lw_scratch, lw_sem = leaf_dma        # (2, 16, 4K) VMEM, (2,) sems
+
+    def leaf_copy(leaf, slot):
+        return pltpu.make_async_copy(leafW_ref.at[leaf],
+                                     lw_scratch.at[slot],
+                                     lw_sem.at[slot])
+
+    def body(state):
+        sp, pend, slot = state
+        sp = sp - 1
+        node = stack_i[sp]
+
+        def internal_(state):
+            sp, pend, slot = state
+            return (do_internal(node, sp), pend, slot)
+
+        def leaf_(state):
+            sp, pend, slot = state
+            if stats_refs is not None:
+                stats_refs[1][0, t_idx, :] = stats_refs[1][0, t_idx, :] + 1
+            leaf = -node - 1
+            nslot = 1 - slot
+            leaf_copy(leaf, nslot).start()
+
+            def drain(sp):
+                leaf_copy(pend, slot).wait()
+                return shade_leaf(pend, lw_scratch[slot], sp)
+
+            sp = jax.lax.cond(pend >= 0, drain, lambda s: s, sp)
+            return (sp, leaf, nslot)
+
+        return jax.lax.cond(node >= 0, internal_, leaf_, (sp, pend, slot))
+
+    state = jax.lax.while_loop(lambda s: s[0] > 0, body,
+                               (sp0, jnp.int32(-1), jnp.int32(0)))
+    sp_f, pend_f, slot_f = state
+
+    def drain_final(sp):
+        leaf_copy(pend_f, slot_f).wait()
+        return shade_leaf(pend_f, lw_scratch[slot_f], sp)
+
+    # the last pop'd leaf's copy is still outstanding: wait + process
+    # (also runs after an any-hit early exit, keeping semaphores clean)
+    jax.lax.cond(pend_f >= 0, drain_final, lambda s: s, sp_f)

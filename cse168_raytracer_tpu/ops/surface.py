@@ -44,18 +44,28 @@ class Surface(NamedTuple):
     hit: jax.Array          # (N,) bool
 
 
-def _tri_surface(pack: TrianglePack, o, d, tri_id):
-    # ONE fused row gather for every per-triangle attribute: XLA's TPU
-    # gather costs ~10 ns per output row independent of row width, so
-    # 12 per-field gathers would cost 12x this one (and 9 scatter-add
-    # adjoints in the backward). Layout below is sliced back apart.
-    attr = jnp.concatenate([
+def pack_attr_rows(pack: TrianglePack) -> jax.Array:
+    """The (T, 29) fused attribute table _tri_surface gathers from.
+    Rebuilt per trace (NOT cached on the pack): callers differentiate
+    through pack fields (vertex/normal/uv gradients), so a cached table
+    would be stale under traced field replacement and would silently
+    detach those gradients."""
+    return jnp.concatenate([
         pack.v0, pack.e1, pack.e2, pack.n_geo,
         pack.n0, pack.n1, pack.n2,
         pack.t0, pack.t1, pack.t2,
         pack.has_uv[:, None].astype(jnp.float32),
         pack.material_id[:, None].astype(jnp.float32),
-    ], axis=1)                                  # (T, 29)
+    ], axis=1)
+
+
+def _tri_surface(pack: TrianglePack, o, d, tri_id):
+    # ONE fused row gather for every per-triangle attribute: each
+    # gather op costs ~a fixed few ms at wavefront width (latency-bound
+    # random HBM rows), so 12 per-field gathers would cost 12x this one
+    # (and 9 scatter-add adjoints in the backward). Layout below is
+    # sliced back apart.
+    attr = pack_attr_rows(pack)
     g = attr[tri_id]                            # (N, 29)
     v0, e1, e2 = g[:, 0:3], g[:, 3:6], g[:, 6:9]
     n_geo = g[:, 9:12]
