@@ -65,9 +65,11 @@ from cse168_raytracer_tpu.ops.intersect import (_BIG, _DEN_TINY, PRIM_NONE,
 import os as _os_t
 # triangles per leaf: the leaf operand block is (16, 4K) — beta/gamma/
 # den/t planar groups of K lanes each; bytes/tri are constant in K, so
-# bigger leaves trade wasted tri tests for fewer leaf visits (each an
-# ~1 us DMA wait on the HBM-leaf path)
-K = int(_os_t.environ.get("CSE168_LEAF_K", "32"))
+# bigger leaves trade wasted tri tests (free, on the MXU) for fewer
+# leaf visits (the per-visit overhead and, on the HBM path, the DMA).
+# TPU A/B, fwd+bwd ms/step:  bunny1 32: 13.8  64: 12.9  128: 13.0
+#                            bunny20 32: 85.8  64: 76.6  128: 75.2
+K = int(_os_t.environ.get("CSE168_LEAF_K", "64"))
 # rays per subtile walk. TPU A/B on bunny1 512^2 (closest / shadow ms):
 # 128: 9.2/12.1   256: 6.7/8.0   512: 6.1/7.9   1024: 7.2/9.8
 # — wider tiles amortize the per-visit scalar overhead across more rays

@@ -32,8 +32,10 @@ def save_photon_maps(path: str, maps) -> None:
         data[f"{name}_power"] = np.asarray(g.power)
         data[f"{name}_dir"] = np.asarray(g.dir)
         data[f"{name}_hash"] = np.asarray(g.cell_hash)
+        data[f"{name}_weight"] = np.asarray(g.weight)
         data[f"{name}_meta"] = np.asarray(
-            [float(g.radius), int(g.n_valid), g.table_size, g.max_per_cell])
+            [float(g.radius), int(g.n_valid), g.table_size, g.max_per_cell,
+             g.knn])
     np.savez_compressed(path, **data)
 
 
@@ -45,15 +47,22 @@ def load_photon_maps(path: str):
         if f"{name}_pos" not in z:
             return None
         meta = z[f"{name}_meta"]
+        n = z[f"{name}_pos"].shape[0]
+        # pre-r04 checkpoints lack weight/knn: weight 1 per stored row
+        # and the k=500 default reproduce the old estimator closely
+        wgt = (z[f"{name}_weight"] if f"{name}_weight" in z
+               else np.ones(n, np.float32))
         return PhotonGrid(
             pos=jnp.asarray(z[f"{name}_pos"]),
             power=jnp.asarray(z[f"{name}_power"]),
             dir=jnp.asarray(z[f"{name}_dir"]),
+            weight=jnp.asarray(wgt),
             cell_hash=jnp.asarray(z[f"{name}_hash"]),
             radius=jnp.float32(meta[0]),
             n_valid=jnp.int32(meta[1]),
             table_size=int(meta[2]),
-            max_per_cell=int(meta[3]))
+            max_per_cell=int(meta[3]),
+            knn=int(meta[4]) if meta.shape[0] > 4 else 500)
 
     return PhotonMaps(global_map=grid("g"), caustic_map=grid("c"))
 
