@@ -140,13 +140,23 @@ def _cmd_render(args) -> int:
         boxt = float(stats.box_tests)
         trit = float(stats.tri_tests)
         if boxt > 0 or trit > 0:
+            from cse168_raytracer_tpu.ops.pallas_bvh import K as leaf_k
+            from cse168_raytracer_tpu.ops.pallas_bvh import T as tile_t
             print("[stats] ----- traversal (in-kernel, full render) -----",
                   file=sys.stderr)
             print(f"[stats] ray-box   tests/ray: {boxt / n_rays:8.2f}",
                   file=sys.stderr)
-            print(f"[stats] ray-tri   tests/ray: {trit / n_rays:8.2f} "
-                  f"(reference A2, 4 tris/leaf: teapot 3.75, bunny 1.17, "
-                  f"sponza 10.33)", file=sys.stderr)
+            print(f"[stats] ray-tri   tests/ray: {trit / n_rays:8.2f}",
+                  file=sys.stderr)
+            # tile accounting: every ray is billed for every test its
+            # whole walk executed (T rays share each visit; leaves test
+            # K tris at once on the MXU). Dividing out the tile width
+            # approximates the reference's per-ray scalar counts
+            # (writeup/A2/Readme.tex:95-98: teapot 3.75, bunny 1.17,
+            # sponza 10.33 at 4 tris/leaf).
+            print(f"[stats] per-walk  tri-tests/ray (/T={tile_t}): "
+                  f"{trit / n_rays / tile_t:8.2f}   [K={leaf_k} tris/leaf]",
+                  file=sys.stderr)
         elif scene.accel is not None:
             # accels without in-kernel counters: approximate with the
             # separate primary-ray block pass (ops/stats.py)
