@@ -298,7 +298,21 @@ def scene_sponza(cfg: RenderConfig):
     white = mb.phong(kd=(1, 1, 1))
     path = os.environ.get("CSE168_SPONZA_OBJ",
                           os.path.join(REF_MODELS, "sponza.obj"))
-    obj = load_obj(path) if os.path.exists(path) else _make_sponza_substitute()
+    if os.path.exists(path):
+        obj = load_obj(path)
+    else:
+        if os.environ.get("CSE168_SPONZA_OBJ"):
+            # an explicitly requested real sponza must not silently
+            # degrade to the 2.5k-tri stand-in (a prior round's bench
+            # honesty lesson)
+            raise FileNotFoundError(
+                f"CSE168_SPONZA_OBJ={path!r} does not exist")
+        import sys as _sys
+        print("[scene] sponza.obj stripped from the reference snapshot:"
+              " using the 2,556-tri PROCEDURAL SUBSTITUTE (set"
+              " CSE168_SPONZA_OBJ to a real sponza OBJ)",
+              file=_sys.stderr)
+        obj = _make_sponza_substitute()
     tris = pack_triangles([(obj, white)])
     lights = [dict(kind=LIGHT_POINT, position=(0, 10.0, 0),
                    color=(1, 1, 1), wattage=200.0)]
