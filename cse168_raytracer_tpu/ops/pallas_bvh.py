@@ -79,6 +79,10 @@ T = int(_os_t.environ.get("CSE168_TILE_T", "256"))
 GSUB = 8        # tiles per grid program (Mosaic wants >=8-sublane blocks)
 _BIGF = 3.0e37  # python-float mirror of intersect._BIG (kernels cannot
                 # capture traced constants)
+# A/B flag: feed the kernel cbox as (N4, 32, 1) so the internal-visit
+# node fetch lands directly in sublane layout (no (1,32)->(32,1)
+# relayout per visit) at the cost of 128x lane-padded VMEM (16 KB/node)
+_CBOX_BCAST = _os_t.environ.get("CSE168_CBOX_BCAST", "0") == "1"
 
 # leaf-matmul precision knob (set before import; used for TPU A/Bs —
 # HIGHEST won: golden parity at <=2/255 needs exact f32 Pluecker sums)
@@ -400,6 +404,9 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
 
     hbm = isinstance(accel, PallasBVHHBM)
     is4 = isinstance(accel, (PallasBVH4, PallasBVHHBM))
+    if is4 and _CBOX_BCAST:
+        accel = accel._replace(cbox=accel.cbox.reshape(
+            accel.cbox.shape[0], 32, 1))
     kern_fn = _traverse4_kernel if is4 else _traverse_kernel
     kern = functools.partial(kern_fn, any_hit=any_hit,
                              with_stats=with_stats,
@@ -418,12 +425,18 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
                            memory_space=pltpu.VMEM)
     rt_shape = (ng, GSUB, T)
     n_out = 4 if with_stats else 2
+    links_specs = ([pl.BlockSpec(accel.links.shape, lambda i: (0,),
+                                 memory_space=pltpu.SMEM)]
+                   if is4 else [])
+    links_args = (accel.links,) if is4 else ()
     outs = pl.pallas_call(
         kern,
         grid=(ng,),
         in_specs=ray_specs + [
-            pl.BlockSpec(accel.cbox.shape, lambda i: (0, 0),
+            pl.BlockSpec(accel.cbox.shape,
+                         lambda i: (0,) * accel.cbox.ndim,
                          memory_space=pltpu.VMEM),
+        ] + links_specs + [
             leafW_spec,
         ],
         out_specs=[rt_spec] * n_out,
@@ -444,7 +457,7 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(r8, rmat, accel.cbox, accel.leafW)
+    )(r8, rmat, accel.cbox, *links_args, accel.leafW)
     best_t = outs[0].reshape(n_pad)[:n]
     best_id = outs[1].reshape(n_pad)[:n]
     hit = best_t < _BIG
@@ -661,15 +674,22 @@ def forest_any_hit(forest: PallasBVHForest, tris, spheres, planes, o, d,
 
 class PallasBVH4(NamedTuple):
     cbox: jax.Array    # (N4, 32) f32 [lo0 hi0 lo1 hi1 lo2 hi2 lo3 hi3
-    #                                  link0..3 pad4]
-    leafW: jax.Array   # (L, 16, 128) — same leaf table as PallasBVH
+    #                                  link0..3 pad4] (plane-grouped)
+    links: jax.Array   # (N4*4,) i32 child links, flat (2-D SMEM
+    #                  windows lane-pad the minor dim 32x and v5e SMEM
+    #                  is 1 MB total), SMEM-resident in the
+    #                  kernel: the scalar core reads them directly, vs
+    #                  4 scalar VMEM loads (each a vector load + lane
+    #                  extract + vector->scalar sync) per internal visit
+    leafW: jax.Array   # (L, 16, 4K) — same leaf table as PallasBVH
     n_nodes: int
     n_leaves: int
     stack_depth: int
 
 
 def _pb4_flatten(b: PallasBVH4):
-    return (b.cbox, b.leafW), (b.n_nodes, b.n_leaves, b.stack_depth)
+    return (b.cbox, b.links, b.leafW), (b.n_nodes, b.n_leaves,
+                                        b.stack_depth)
 
 
 def _pb4_unflatten(aux, children):
@@ -724,18 +744,23 @@ def _collapse_to_bvh4(nodes14: np.ndarray):
                     stack.append(link)
             else:
                 # empty slot: a DEGENERATE POINT at +infinity (lo == hi
-                # == _FAR, the 2-wide sentinel): for any real ray the
+                # == _FAR, the 2-wide sentinel): for almost any ray the
                 # per-axis entry t's differ (or overflow to +inf on at
                 # most two axes), so ent > ext and the slot never
                 # pushes. An INVERTED box (hi < lo) would be wrong here
                 # — per-axis tn=min/tf=max of the two plane t's spans
                 # (-inf, inf) for straddling planes, so an inverted box
-                # ACCEPTS every ray and its 0 link would re-push the
-                # root forever.
+                # ACCEPTS every ray. The measure-zero escape (a ray
+                # aimed exactly at the degenerate point makes ent ==
+                # ext pass) is made TERMINATING by linking the slot to
+                # leaf 0 (~0): a spurious leaf visit tests real
+                # triangles against the usual acceptance rules —
+                # redundant work, never a wrong hit, never a loop
+                # (link 0 would re-push the root forever).
                 for a in range(3):
                     row[a * 4 + i] = _FAR
                     row[12 + a * 4 + i] = _FAR
-                row[24 + i] = 0.0
+                row[24 + i] = float(~0)
         rows.append(row)
     cbox4 = np.zeros((len(rows), 32), np.float32)
     cbox4[:, :28] = np.stack(rows)
@@ -774,6 +799,8 @@ def build_pallas_bvh4_sah(pack: TrianglePack):
         pack, K, upload_plucker=False)
     cbox4, depth4 = _collapse_to_bvh4(nodes14.astype(np.float32))
     accel = PallasBVH4(cbox=jnp.asarray(cbox4),
+                       links=jnp.asarray(
+                           cbox4[:, 24:28].astype(np.int32).reshape(-1)),
                        leafW=jnp.asarray(_leafW_from_pack(new_pack,
                                                           n_leaves)),
                        n_nodes=int(cbox4.shape[0]),
@@ -799,14 +826,16 @@ class PallasBVHHBM(NamedTuple):
     (BVH.cpp:91-166 leaf caches) mapped onto the TPU memory hierarchy.
     """
     cbox: jax.Array    # (N4, 32) f32, plane-grouped (see _collapse_to_bvh4)
-    leafW: jax.Array   # (L, 16, 128) f32, stays in HBM
+    links: jax.Array   # (N4*4,) i32, SMEM-resident (see PallasBVH4)
+    leafW: jax.Array   # (L, 16, 4K) f32, stays in HBM
     n_nodes: int
     n_leaves: int
     stack_depth: int
 
 
 def _pbh_flatten(b: PallasBVHHBM):
-    return (b.cbox, b.leafW), (b.n_nodes, b.n_leaves, b.stack_depth)
+    return (b.cbox, b.links, b.leafW), (b.n_nodes, b.n_leaves,
+                                        b.stack_depth)
 
 
 def _pbh_unflatten(aux, children):
@@ -823,7 +852,7 @@ def build_pallas_bvh4_hbm(pack: TrianglePack):
     return new_pack, PallasBVHHBM(*a4)
 
 
-def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, leafW_ref,
+def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                       out_t_ref, out_id_ref, *rest,
                       any_hit: bool, with_stats: bool,
                       leaf_hbm: bool = False):
@@ -845,7 +874,7 @@ def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, leafW_ref,
         stats_refs = None
 
     def sub_tile(t_idx, _):
-        _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
+        _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                        out_t_ref, out_id_ref, stack_i, stack_t,
                        t_idx, any_hit=any_hit, stats_refs=stats_refs,
                        leaf_dma=leaf_dma)
@@ -854,7 +883,7 @@ def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, leafW_ref,
     jax.lax.fori_loop(0, GSUB, sub_tile, 0)
 
 
-def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
+def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                    out_t_ref, out_id_ref, stack_i, stack_t, t_idx,
                    *, any_hit: bool, stats_refs=None, leaf_dma=None):
     """One 128-ray subtile walk, engineered for minimum per-visit
@@ -910,7 +939,8 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
                 curmax = jnp.where(best < _BIGF, -1.0, tmax_r)
             else:
                 curmax = jnp.minimum(tmax_r, best)
-            cb = cbox_ref[node, :].reshape(32, 1)
+            cb = (cbox_ref[node] if _CBOX_BCAST
+                  else cbox_ref[node, :].reshape(32, 1))
             cbL = jnp.broadcast_to(cb[0:12], (12, T))
             cbH = jnp.broadcast_to(cb[12:24], (12, T))
             tA = (cbL - o12) * rcp12
@@ -934,7 +964,12 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, leafW_ref,
             pres = jnp.max(ok4, axis=1, keepdims=True)  # (4, 1)
             mask = jnp.sum(pres * bitw).astype(jnp.int32)
             for i in range(4):
-                stack_i[sp] = cbox_ref[node, 24 + i].astype(jnp.int32)
+                # links live in SMEM: plain scalar-core reads, where a
+                # cbox_ref[node, 24+i] VMEM read costs a vector load +
+                # lane extract + vector->scalar sync EACH (measured:
+                # bunny1 closest-hit 6.15 -> 5.51 ms, shadow 7.11 ->
+                # 5.89; bunny20 step 76.5 -> 71.6)
+                stack_i[sp] = links_ref[node * 4 + i]
                 sp = sp + ((mask >> i) & 1)
             return sp
 

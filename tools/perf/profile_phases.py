@@ -44,7 +44,7 @@ def main():
     from cse168_raytracer_tpu.models.lights import nee_sample
     from cse168_raytracer_tpu.ops.accel import attach_accel
     from cse168_raytracer_tpu.ops.pallas_bvh import (
-        PallasBVHForest, T, pallas_bvh_closest_hit_triangles)
+        K, PallasBVHForest, T, pallas_bvh_closest_hit_triangles)
     from cse168_raytracer_tpu.ops.shading import shade_direct, trace_closest
     from cse168_raytracer_tpu.ops.surface import make_surface
     from cse168_raytracer_tpu.render.camera import eye_rays
@@ -80,7 +80,7 @@ def main():
             a, o, d, 1e-4, 3e37, with_stats=True))
         _, box, tri = jax.block_until_ready(fs(acc, o, d))
         nv = np.asarray(box).reshape(-1, T)[:, 0] / 4
-        lv = np.asarray(tri).reshape(-1, T)[:, 0] / 32
+        lv = np.asarray(tri).reshape(-1, T)[:, 0] / K
         tot = nv.sum() + lv.sum()
         fc = jax.jit(lambda a, o, d: pallas_bvh_closest_hit_triangles(
             a, o, d, 1e-4, 3e37))
@@ -111,7 +111,16 @@ def main():
         sh_tmax = jnp.where(surf.hit, s.dist, -1.0)
         fa = jax.jit(lambda a, o_, l: pallas_bvh_closest_hit_triangles(
             a, o_, l, 0.0, sh_tmax, any_hit=True))
-        print(f"shadow any-hit    : {timeit(fa, acc, sh_o, s.l):6.2f} ms")
+        ms_a = timeit(fa, acc, sh_o, s.l)
+        fas = jax.jit(lambda a, o_, l: pallas_bvh_closest_hit_triangles(
+            a, o_, l, 0.0, sh_tmax, any_hit=True, with_stats=True))
+        _, boxa, tria = jax.block_until_ready(fas(acc, sh_o, s.l))
+        nva = np.asarray(boxa).reshape(-1, T)[:, 0] / 4
+        lva = np.asarray(tria).reshape(-1, T)[:, 0] / K
+        tota = nva.sum() + lva.sum()
+        print(f"shadow any-hit    : {ms_a:6.2f} ms   "
+              f"[{tota:.0f} visits ({lva.sum():.0f} leaf), "
+              f"{ms_a * 1e6 / tota:.0f} ns/visit]")
 
     def mk(disable_shadows):
         import dataclasses
