@@ -223,23 +223,41 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
     return scene.replace(tris=pack, accel=build_accel(pack))
 
 
+def supports_kernel_attr(accel) -> bool:
+    """True when the accel's traversal kernel can extract winner
+    attribute rows in-kernel (ops/pallas_bvh with_attr): the 4-wide
+    Pallas tiers, whose attrA layout needs 2K % 128 == 0."""
+    from cse168_raytracer_tpu.ops.pallas_bvh import (K, PallasBVH4,
+                                                     PallasBVHHBM)
+    return (isinstance(accel, (PallasBVH4, PallasBVHHBM))
+            and (2 * K) % 128 == 0)
+
+
 def scene_closest_hit(accel, tris: TrianglePack, spheres: SpherePool,
                       planes: PlanePool, o, d, tmin=0.0,
                       tmax=MIRO_TMAX, blpatches=None,
-                      with_stats: bool = False):
+                      with_stats: bool = False,
+                      with_attr: bool = False):
     """Dispatch on the attached accelerator type.
 
     with_stats=True returns (Hit, box_tests, tri_tests) with the
     -DSTATS counters measured INSIDE the traversal that produced the
     hits (Stats.h accounting); accelerators without in-traversal
-    counters (block/legacy-pallas) return zero counters."""
-    if with_stats:
+    counters (block/legacy-pallas) return zero counters.
+
+    with_attr=True (requires supports_kernel_attr(accel)) appends the
+    kernel-extracted (N, 32) winner attribute rows to the return."""
+    if with_attr:
+        assert supports_kernel_attr(accel)
+    if with_stats or with_attr:
         from cse168_raytracer_tpu.ops.pallas_bvh import (
             PallasBVH, PallasBVH4, PallasBVHHBM,
             pallas_bvh_closest_hit_triangles)
         if isinstance(accel, (PallasBVH, PallasBVH4, PallasBVHHBM)):
-            h, box, tri = pallas_bvh_closest_hit_triangles(
-                accel, o, d, tmin, tmax, with_stats=True)
+            res = pallas_bvh_closest_hit_triangles(
+                accel, o, d, tmin, tmax, with_stats=with_stats,
+                with_attr=with_attr)
+            h, *extra = res
             h = _merge(h, intersect_spheres(spheres, o, d, tmin, tmax))
             h = _merge(h, intersect_planes(planes, o, d, tmin, tmax))
             if blpatches is not None:
@@ -247,7 +265,7 @@ def scene_closest_hit(accel, tris: TrianglePack, spheres: SpherePool,
                     intersect_blpatches
                 h = _merge(h, intersect_blpatches(blpatches, o, d,
                                                   tmin, tmax))
-            return h, box, tri
+            return (h, *extra)
         h = scene_closest_hit(accel, tris, spheres, planes, o, d,
                               tmin, tmax, blpatches=blpatches)
         zero = jnp.zeros(o.shape[:1], jnp.int32)

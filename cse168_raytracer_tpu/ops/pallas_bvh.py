@@ -142,6 +142,32 @@ def _leafW_from_pack(pack: TrianglePack, n_leaves: int) -> np.ndarray:
     return leafW
 
 
+def _attrA_from_pack(pack: TrianglePack, n_leaves: int) -> np.ndarray:
+    """Per-leaf shading-attribute blocks (L, 32, K): rows = the 29
+    ops/surface.pack_attr_rows columns (padded to 32 sublanes), lanes =
+    the leaf's K triangles. The traversal kernel extracts the winning
+    ray's attribute column via a one-hot MXU contraction at each
+    best-t improvement (see _traverse4_one), which replaces the
+    per-ray random row gather in make_surface — measured ~42 ns/row
+    latency-bound on HBM (~11 ms for a 512^2 wavefront at bunny20
+    scale) with work that rides the leaf visit's already-resident
+    block."""
+    cols = [np.asarray(pack.v0), np.asarray(pack.e1), np.asarray(pack.e2),
+            np.asarray(pack.n_geo),
+            np.asarray(pack.n0), np.asarray(pack.n1), np.asarray(pack.n2),
+            np.asarray(pack.t0), np.asarray(pack.t1), np.asarray(pack.t2),
+            np.asarray(pack.has_uv)[:, None].astype(np.float32),
+            np.asarray(pack.material_id)[:, None].astype(np.float32)]
+    attr = np.zeros((n_leaves * K, 32), np.float32)
+    attr[:, :29] = np.concatenate(cols, axis=1)
+    a32 = attr.reshape(n_leaves, K, 32).transpose(0, 2, 1)  # (L, 32, K)
+    # stored as (L, 16, 2K): attribute rows 16..31 ride in lanes K..2K
+    # so the per-leaf HBM->VMEM DMA slice has a 128-aligned lane dim
+    # (2K = 128 at the default K=64; Mosaic rejects 64-lane slices)
+    return np.ascontiguousarray(
+        np.concatenate([a32[:, :16, :], a32[:, 16:, :]], axis=2))
+
+
 def build_pallas_bvh_sah(pack: TrianglePack):
     """SAH build (csrc/bvh_builder.cpp): returns (leaf-ordered pack,
     PallasBVH). This is the default accelerator construction — the SAH
@@ -385,7 +411,8 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
                                      d: jax.Array, tmin, tmax,
                                      any_hit: bool = False,
                                      interpret: bool | None = None,
-                                     with_stats: bool = False):
+                                     with_stats: bool = False,
+                                     with_attr: bool = False):
     """Closest hit (or first-hit occlusion) of N rays against the
     VMEM-resident BVH. prim_id indexes the Morton-ordered pack.
 
@@ -394,7 +421,13 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
     pass): (Hit, box_tests (N,), tri_tests (N,)) per-ray i32 counts,
     with the reference's accounting (2 child slab tests per internal
     visit, BVH.cpp:513-584; K triangle tests per leaf visit,
-    BVH.cpp:478-510)."""
+    BVH.cpp:478-510).
+
+    with_attr=True (4-wide accels, closest-hit) additionally returns
+    the winning triangle's (N, 32) attribute rows (pack_attr_rows
+    layout, zero where no triangle was hit), extracted in-kernel from
+    the accel's baked attrA blocks — see _attrA_from_pack. Appended
+    LAST in the return tuple."""
     accel, o, d, tmin, tmax = jax.lax.stop_gradient(
         (accel, o, d, tmin, tmax))
     if interpret is None:
@@ -404,13 +437,16 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
 
     hbm = isinstance(accel, PallasBVHHBM)
     is4 = isinstance(accel, (PallasBVH4, PallasBVHHBM))
+    if with_attr and (not is4 or any_hit):
+        raise ValueError("with_attr needs a 4-wide accel closest-hit")
     if is4 and _CBOX_BCAST:
         accel = accel._replace(cbox=accel.cbox.reshape(
             accel.cbox.shape[0], 32, 1))
     kern_fn = _traverse4_kernel if is4 else _traverse_kernel
     kern = functools.partial(kern_fn, any_hit=any_hit,
                              with_stats=with_stats,
-                             **({"leaf_hbm": True} if hbm else {}))
+                             **({"leaf_hbm": True} if hbm else {}),
+                             **({"with_attr": True} if with_attr else {}))
     s = accel.stack_depth
     ray_specs = [
         pl.BlockSpec((1, GSUB, 8, T), lambda i: (i, 0, 0, 0),
@@ -424,11 +460,23 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
     rt_spec = pl.BlockSpec((1, GSUB, T), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     rt_shape = (ng, GSUB, T)
-    n_out = 4 if with_stats else 2
     links_specs = ([pl.BlockSpec(accel.links.shape, lambda i: (0,),
                                  memory_space=pltpu.SMEM)]
                    if is4 else [])
     links_args = (accel.links,) if is4 else ()
+    attr_in_specs, attr_args = [], ()
+    attr_out_specs, attr_out_shapes = [], []
+    if with_attr:
+        attr_in_specs = [pl.BlockSpec(memory_space=pl.ANY) if hbm
+                         else pl.BlockSpec(accel.attrA.shape,
+                                           lambda i: (0, 0, 0),
+                                           memory_space=pltpu.VMEM)]
+        attr_args = (accel.attrA,)
+        attr_out_specs = [pl.BlockSpec((1, GSUB, 32, T),
+                                       lambda i: (i, 0, 0, 0),
+                                       memory_space=pltpu.VMEM)]
+        attr_out_shapes = [jax.ShapeDtypeStruct((ng, GSUB, 32, T),
+                                                jnp.float32)]
     outs = pl.pallas_call(
         kern,
         grid=(ng,),
@@ -438,13 +486,15 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
                          memory_space=pltpu.VMEM),
         ] + links_specs + [
             leafW_spec,
-        ],
-        out_specs=[rt_spec] * n_out,
+        ] + attr_in_specs,
+        out_specs=[rt_spec] * 2 + attr_out_specs
+        + [rt_spec] * (2 if with_stats else 0),
         out_shape=[
             jax.ShapeDtypeStruct(rt_shape, jnp.float32),
             jax.ShapeDtypeStruct(rt_shape, jnp.int32),
-        ] + ([jax.ShapeDtypeStruct(rt_shape, jnp.int32)] * 2
-             if with_stats else []),
+        ] + attr_out_shapes
+        + ([jax.ShapeDtypeStruct(rt_shape, jnp.int32)] * 2
+           if with_stats else []),
         scratch_shapes=[
             pltpu.SMEM((s,), jnp.int32),
             pltpu.SMEM((s,), jnp.float32),
@@ -453,23 +503,34 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
             # 1-deep pipeline alternates slots; see _traverse4_one)
             pltpu.VMEM((2, 16, 4 * K), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-        ] if hbm else []),
+        ] if hbm else []) + ([
+            pltpu.VMEM((2, 16, 2 * K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ] if (hbm and with_attr) else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(r8, rmat, accel.cbox, *links_args, accel.leafW)
-    best_t = outs[0].reshape(n_pad)[:n]
-    best_id = outs[1].reshape(n_pad)[:n]
+    )(r8, rmat, accel.cbox, *links_args, accel.leafW, *attr_args)
+    outs = list(outs)
+    best_t = outs.pop(0).reshape(n_pad)[:n]
+    best_id = outs.pop(0).reshape(n_pad)[:n]
+    attr_rows = None
+    if with_attr:
+        # (ng, GSUB, 32, T) -> (n, 32): one fused transpose
+        attr_rows = outs.pop(0).swapaxes(2, 3).reshape(n_pad, 32)[:n]
     hit = best_t < _BIG
     h = Hit(t=best_t, prim_type=jnp.where(hit, PRIM_TRI, PRIM_NONE),
             prim_id=best_id, hit=hit)
+    ret = (h,)
     if with_stats:
         # internal visits test 2 (4-wide: 4) child boxes; leaf visits
         # test K triangles
-        box_tests = (4 if is4 else 2) * outs[2].reshape(n_pad)[:n]
-        tri_tests = K * outs[3].reshape(n_pad)[:n]
-        return h, box_tests, tri_tests
-    return h
+        box_tests = (4 if is4 else 2) * outs.pop(0).reshape(n_pad)[:n]
+        tri_tests = K * outs.pop(0).reshape(n_pad)[:n]
+        ret = ret + (box_tests, tri_tests)
+    if with_attr:
+        ret = ret + (attr_rows,)
+    return ret if len(ret) > 1 else h
 
 
 def pallas_bvh_closest_hit(accel: PallasBVH, tris, spheres, planes, o, d,
@@ -682,14 +743,17 @@ class PallasBVH4(NamedTuple):
     #                  4 scalar VMEM loads (each a vector load + lane
     #                  extract + vector->scalar sync) per internal visit
     leafW: jax.Array   # (L, 16, 4K) — same leaf table as PallasBVH
+    attrA: jax.Array   # (L, 16, 2K) shading-attribute blocks
+    #                  (_attrA_from_pack) for in-kernel winner
+    #                  extraction; VMEM-resident on this tier
     n_nodes: int
     n_leaves: int
     stack_depth: int
 
 
 def _pb4_flatten(b: PallasBVH4):
-    return (b.cbox, b.links, b.leafW), (b.n_nodes, b.n_leaves,
-                                        b.stack_depth)
+    return (b.cbox, b.links, b.leafW, b.attrA), (b.n_nodes, b.n_leaves,
+                                                 b.stack_depth)
 
 
 def _pb4_unflatten(aux, children):
@@ -803,6 +867,8 @@ def build_pallas_bvh4_sah(pack: TrianglePack):
                            cbox4[:, 24:28].astype(np.int32).reshape(-1)),
                        leafW=jnp.asarray(_leafW_from_pack(new_pack,
                                                           n_leaves)),
+                       attrA=jnp.asarray(_attrA_from_pack(new_pack,
+                                                          n_leaves)),
                        n_nodes=int(cbox4.shape[0]),
                        n_leaves=int(n_leaves),
                        stack_depth=int(3 * depth4 + 6))
@@ -828,14 +894,16 @@ class PallasBVHHBM(NamedTuple):
     cbox: jax.Array    # (N4, 32) f32, plane-grouped (see _collapse_to_bvh4)
     links: jax.Array   # (N4*4,) i32, SMEM-resident (see PallasBVH4)
     leafW: jax.Array   # (L, 16, 4K) f32, stays in HBM
+    attrA: jax.Array   # (L, 16, 2K) f32, stays in HBM; DMA'd per leaf
+    #                  visit alongside leafW (see PallasBVH4.attrA)
     n_nodes: int
     n_leaves: int
     stack_depth: int
 
 
 def _pbh_flatten(b: PallasBVHHBM):
-    return (b.cbox, b.links, b.leafW), (b.n_nodes, b.n_leaves,
-                                        b.stack_depth)
+    return (b.cbox, b.links, b.leafW, b.attrA), (b.n_nodes, b.n_leaves,
+                                                 b.stack_depth)
 
 
 def _pbh_unflatten(aux, children):
@@ -853,29 +921,33 @@ def build_pallas_bvh4_hbm(pack: TrianglePack):
 
 
 def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
-                      out_t_ref, out_id_ref, *rest,
-                      any_hit: bool, with_stats: bool,
-                      leaf_hbm: bool = False):
+                      *rest, any_hit: bool, with_stats: bool,
+                      with_attr: bool = False, leaf_hbm: bool = False):
     """Narrow 4-wide variant: each T-ray sub-tile walks the BVH4 with
     a private stack (the narrow/wide trade measured on TPU: narrow
     tiles do ~8x fewer wasted leaf tests; wide tiles amortize scalar
     visit overhead — with 4-wide nodes the visit count halves, tipping
-    the balance back to narrow)."""
+    the balance back to narrow).
+
+    Positional refs after the five fixed inputs, in pallas_call order:
+    [attrA] out_t out_id [out_attr] [nv lv] stack_i stack_t
+    [lw_scratch lw_sem [aw_scratch aw_sem]]."""
+    rest = list(rest)
+    attrA_ref = rest.pop(0) if with_attr else None
+    out_t_ref, out_id_ref = rest.pop(0), rest.pop(0)
+    out_attr_ref = rest.pop(0) if with_attr else None
+    stats_refs = (rest.pop(0), rest.pop(0)) if with_stats else None
+    stack_i, stack_t = rest.pop(0), rest.pop(0)
+    leaf_dma = None
     if leaf_hbm:
-        *rest, lw_scratch, lw_sem = rest
-        leaf_dma = (lw_scratch, lw_sem)
-    else:
-        leaf_dma = None
-    if with_stats:
-        out_nv_ref, out_lv_ref, stack_i, stack_t = rest
-        stats_refs = (out_nv_ref, out_lv_ref)
-    else:
-        stack_i, stack_t = rest
-        stats_refs = None
+        lw_scratch, lw_sem = rest.pop(0), rest.pop(0)
+        aw = (rest.pop(0), rest.pop(0)) if with_attr else (None, None)
+        leaf_dma = (lw_scratch, lw_sem) + aw
 
     def sub_tile(t_idx, _):
         _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
-                       out_t_ref, out_id_ref, stack_i, stack_t,
+                       attrA_ref, out_t_ref, out_id_ref, out_attr_ref,
+                       stack_i, stack_t,
                        t_idx, any_hit=any_hit, stats_refs=stats_refs,
                        leaf_dma=leaf_dma)
         return 0
@@ -884,7 +956,8 @@ def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
 
 
 def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
-                   out_t_ref, out_id_ref, stack_i, stack_t, t_idx,
+                   attrA_ref, out_t_ref, out_id_ref, out_attr_ref,
+                   stack_i, stack_t, t_idx,
                    *, any_hit: bool, stats_refs=None, leaf_dma=None):
     """One 128-ray subtile walk, engineered for minimum per-visit
     overhead (measured r03: 709 ns/visit — ~670 cycles for ~30 cycles
@@ -921,6 +994,8 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
 
     out_t_ref[0, t_idx, :] = jnp.full((T,), _BIGF, jnp.float32)
     out_id_ref[0, t_idx, :] = jnp.zeros((T,), jnp.int32)
+    if out_attr_ref is not None:
+        out_attr_ref[0, t_idx] = jnp.zeros((32, T), jnp.float32)
     if stats_refs is not None:
         stats_refs[0][0, t_idx, :] = jnp.zeros((T,), jnp.int32)
         stats_refs[1][0, t_idx, :] = jnp.zeros((T,), jnp.int32)
@@ -973,8 +1048,10 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                 sp = sp + ((mask >> i) & 1)
             return sp
 
-    def shade_leaf(leaf, w, sp):
-            """Acceptance + best-t update for leaf's operand block w."""
+    def shade_leaf(leaf, w, aw, sp):
+            """Acceptance + best-t update for leaf's operand block w;
+            aw is the leaf's (32, K) attribute block (or None) for
+            in-kernel winner-attribute extraction."""
             nums = jax.lax.dot_general(
                 w, rmatT, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -1005,6 +1082,32 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
             old_id = out_id_ref[0, t_idx, :].reshape(1, T)
             out_id_ref[0, t_idx, :] = jnp.where(better, leaf * K + lj,
                                                 old_id)[0]
+            if out_attr_ref is not None:
+                # winner-attribute extraction: the improving rays pull
+                # their triangle's 32-float attribute column out of the
+                # resident block with a one-hot MXU contraction — the
+                # rows land on sublanes, rays stay on lanes, and the
+                # per-ray random HBM row gather in make_surface
+                # disappears. HIGHEST precision: one-hot weights are
+                # exact in bf16, so each output is the untouched f32
+                # attribute (bf16x6 reconstructs f32 exactly when only
+                # one addend is nonzero).
+                kio = jax.lax.broadcasted_iota(jnp.int32, (K, T), 0)
+                oneh = ((kio == jnp.broadcast_to(lj, (K, T)))
+                        & jnp.broadcast_to(better, (K, T))
+                        ).astype(jnp.float32)
+                # aw is (16, 2K): attr rows 16..31 live in lanes K..2K
+                # (128-aligned DMA slices); contract each half
+                prod = jnp.concatenate([
+                    jax.lax.dot_general(
+                        aw[:, h * K:(h + 1) * K], oneh,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    for h in (0, 1)], axis=0)                # (32, T)
+                out_attr_ref[0, t_idx] = jnp.where(
+                    jnp.broadcast_to(better, (32, T)), prod,
+                    out_attr_ref[0, t_idx])
             if any_hit:
                 occ_or_dead = ((out_t_ref[0, t_idx, :].reshape(1, T)
                                 < _BIGF) | (tmax_r < tmin_r))
@@ -1021,7 +1124,8 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                     stats_refs[1][0, t_idx, :] = \
                         stats_refs[1][0, t_idx, :] + 1
                 leaf = -node - 1
-                return shade_leaf(leaf, leafW_ref[leaf], sp)
+                aw = None if out_attr_ref is None else attrA_ref[leaf]
+                return shade_leaf(leaf, leafW_ref[leaf], aw, sp)
 
             return jax.lax.cond(node >= 0,
                                 lambda s: do_internal(node, s),
@@ -1040,12 +1144,18 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
     # Deferred processing only ever sees a LATER (tighter) best-t, so
     # closest-hit results are identical; the any-hit early-out fires at
     # most one visit later.
-    lw_scratch, lw_sem = leaf_dma        # (2, 16, 4K) VMEM, (2,) sems
+    # (2, 16, 4K) VMEM + sems; attr slots mirror them when extracting
+    lw_scratch, lw_sem, aw_scratch, aw_sem = leaf_dma
 
     def leaf_copy(leaf, slot):
         return pltpu.make_async_copy(leafW_ref.at[leaf],
                                      lw_scratch.at[slot],
                                      lw_sem.at[slot])
+
+    def attr_copy(leaf, slot):
+        return pltpu.make_async_copy(attrA_ref.at[leaf],
+                                     aw_scratch.at[slot],
+                                     aw_sem.at[slot])
 
     def body(state):
         sp, pend, slot = state
@@ -1063,10 +1173,16 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
             leaf = -node - 1
             nslot = 1 - slot
             leaf_copy(leaf, nslot).start()
+            if out_attr_ref is not None:
+                attr_copy(leaf, nslot).start()
 
             def drain(sp):
                 leaf_copy(pend, slot).wait()
-                return shade_leaf(pend, lw_scratch[slot], sp)
+                aw = None
+                if out_attr_ref is not None:
+                    attr_copy(pend, slot).wait()
+                    aw = aw_scratch[slot]
+                return shade_leaf(pend, lw_scratch[slot], aw, sp)
 
             sp = jax.lax.cond(pend >= 0, drain, lambda s: s, sp)
             return (sp, leaf, nslot)
@@ -1079,7 +1195,11 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
 
     def drain_final(sp):
         leaf_copy(pend_f, slot_f).wait()
-        return shade_leaf(pend_f, lw_scratch[slot_f], sp)
+        aw = None
+        if out_attr_ref is not None:
+            attr_copy(pend_f, slot_f).wait()
+            aw = aw_scratch[slot_f]
+        return shade_leaf(pend_f, lw_scratch[slot_f], aw, sp)
 
     # the last pop'd leaf's copy is still outstanding: wait + process
     # (also runs after an any-hit early exit, keeping semaphores clean)

@@ -52,26 +52,32 @@ def trace_closest(scene: Scene, static: SceneStatic, o, d, tmin=0.0,
     if tmax is None:
         tmax = MIRO_TMAX
     counters = None
+    attr = None
     if scene.accel is not None:
-        from cse168_raytracer_tpu.ops.accel import scene_closest_hit
+        from cse168_raytracer_tpu.ops.accel import (scene_closest_hit,
+                                                    supports_kernel_attr)
+        wa = supports_kernel_attr(scene.accel)
+        res = scene_closest_hit(
+            scene.accel, scene.tris, scene.spheres, scene.planes,
+            o, d, tmin, tmax, blpatches=scene.blpatches,
+            with_stats=collect_stats, with_attr=wa)
+        # Hit is itself a NamedTuple: only multi-result calls return a
+        # plain tuple to unpack
+        res = list(res) if (collect_stats or wa) else [res]
+        hit = res.pop(0)
         if collect_stats:
-            hit, box, tri = scene_closest_hit(
-                scene.accel, scene.tris, scene.spheres, scene.planes,
-                o, d, tmin, tmax, blpatches=scene.blpatches,
-                with_stats=True)
+            box, tri = res.pop(0), res.pop(0)
             counters = (jnp.sum(box.astype(jnp.float32)),
                         jnp.sum(tri.astype(jnp.float32)))
-        else:
-            hit = scene_closest_hit(scene.accel, scene.tris, scene.spheres,
-                                    scene.planes, o, d, tmin, tmax,
-                                    blpatches=scene.blpatches)
+        if wa:
+            attr = res.pop(0)
     else:
         hit = closest_hit(scene.tris, scene.spheres, scene.planes,
                           o, d, tmin, tmax, blpatches=scene.blpatches)
         if collect_stats:
             counters = (jnp.float32(0.0), jnp.float32(0.0))
     surf = make_surface(scene.tris, scene.spheres, scene.planes, o, d, hit,
-                        blpatches=scene.blpatches)
+                        blpatches=scene.blpatches, tri_attr=attr)
     n = apply_bump(scene, static, surf)
     surf = surf._replace(n=n)
     if collect_stats:
@@ -182,30 +188,37 @@ def shade_direct(scene: Scene, static: SceneStatic, ray_d: jax.Array,
                                              blpatches=scene.blpatches)
             else:
                 if scene.accel is not None:
+                    from cse168_raytracer_tpu.ops.accel import \
+                        supports_kernel_attr
+                    sh_wa = (static.any_refractive
+                             and supports_kernel_attr(scene.accel))
+                    sh_res = scene_closest_hit(
+                        scene.accel, scene.tris, scene.spheres,
+                        scene.planes, sh_o, s.l, 0.0, sh_tmax,
+                        blpatches=scene.blpatches,
+                        with_stats=collect_stats, with_attr=sh_wa)
+                    sh_res = (list(sh_res) if (collect_stats or sh_wa)
+                              else [sh_res])
+                    sh_hit = sh_res.pop(0)
                     if collect_stats:
-                        sh_hit, sbox, stri = scene_closest_hit(
-                            scene.accel, scene.tris, scene.spheres,
-                            scene.planes, sh_o, s.l, 0.0, sh_tmax,
-                            blpatches=scene.blpatches, with_stats=True)
+                        sbox, stri = sh_res.pop(0), sh_res.pop(0)
                         box_sum = box_sum + jnp.sum(
                             sbox.astype(jnp.float32))
                         tri_sum = tri_sum + jnp.sum(
                             stri.astype(jnp.float32))
-                    else:
-                        sh_hit = scene_closest_hit(
-                            scene.accel, scene.tris, scene.spheres,
-                            scene.planes, sh_o, s.l, 0.0, sh_tmax,
-                            blpatches=scene.blpatches)
+                    sh_attr = sh_res.pop(0) if sh_wa else None
                 else:
                     sh_hit = closest_hit(scene.tris, scene.spheres,
                                          scene.planes, sh_o, s.l, 0.0,
                                          sh_tmax, blpatches=scene.blpatches)
+                    sh_attr = None
                 occluded = sh_hit.hit
                 if static.any_refractive:
                     # refractive occluders attenuate instead of blocking
                     sh_surf = make_surface(scene.tris, scene.spheres,
                                            scene.planes, sh_o, s.l, sh_hit,
-                                           blpatches=scene.blpatches)
+                                           blpatches=scene.blpatches,
+                                           tri_attr=sh_attr)
                     occ_refr = is_refractive(mats, sh_surf.material_id)
                     occ_ndl = jnp.sum(safe_normalize(sh_surf.n) * s.l,
                                       axis=-1)

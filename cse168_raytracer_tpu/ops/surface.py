@@ -20,10 +20,12 @@ Semantics parity:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cse168_raytracer_tpu.config import PI
 from cse168_raytracer_tpu.core.fastgather import select_component, take_rows
@@ -59,14 +61,56 @@ def pack_attr_rows(pack: TrianglePack) -> jax.Array:
     ], axis=1)
 
 
-def _tri_surface(pack: TrianglePack, o, d, tri_id):
-    # ONE fused row gather for every per-triangle attribute: each
-    # gather op costs ~a fixed few ms at wavefront width (latency-bound
-    # random HBM rows), so 12 per-field gathers would cost 12x this one
-    # (and 9 scatter-add adjoints in the backward). Layout below is
-    # sliced back apart.
-    attr = pack_attr_rows(pack)
-    g = attr[tri_id]                            # (N, 29)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _reattach_rows(n_rows, rows, ids, v0, e1, e2, n_geo, n0, n1, n2,
+                   t0, t1, t2):
+    """Gradient re-attachment for KERNEL-extracted attribute rows.
+
+    Forward: the rows pass through untouched (they were produced inside
+    the gradient-stopped traversal kernel — ops/pallas_bvh
+    with_attr=True). Backward: exactly the VJP the XLA formulation
+    `pack_attr_rows(pack)[ids]` would have had — scatter-add the row
+    cotangent into a (n_rows, 29) table and slice it back into the
+    per-field cotangents — so vertex/normal/uv gradients are identical
+    to the gather path's. (The linearization point is the accel's
+    baked geometry, which equals the pack's unless the caller replaced
+    pack fields after attach_accel — in which case the traversal
+    itself is already stale; see attach_accel.)"""
+    return rows
+
+
+def _reattach_fwd(n_rows, rows, ids, *fields):
+    return rows, ids
+
+
+def _reattach_bwd(n_rows, ids, g):
+    tab = jnp.zeros((n_rows, 29), g.dtype).at[ids].add(g[:, :29])
+    c3 = lambda c: tab[:, c:c + 3]
+    c2 = lambda c: tab[:, c:c + 2]
+    ct_ids = np.zeros(ids.shape, dtype=jax.dtypes.float0)
+    return (jnp.zeros_like(g), ct_ids, c3(0), c3(3), c3(6), c3(9),
+            c3(12), c3(15), c3(18), c2(21), c2(23), c2(25))
+
+
+_reattach_rows.defvjp(_reattach_fwd, _reattach_bwd)
+
+
+def _tri_surface(pack: TrianglePack, o, d, tri_id, rows=None):
+    if rows is not None:
+        # rows extracted in-kernel during traversal (pack_attr_rows
+        # layout, padded to 32): reattach the gather-equivalent VJP
+        g = _reattach_rows(pack.v0.shape[0], rows, tri_id,
+                           pack.v0, pack.e1, pack.e2, pack.n_geo,
+                           pack.n0, pack.n1, pack.n2,
+                           pack.t0, pack.t1, pack.t2)
+    else:
+        # ONE fused row gather for every per-triangle attribute: each
+        # gather op costs ~a fixed few ms at wavefront width (latency-
+        # bound random HBM rows), so 12 per-field gathers would cost
+        # 12x this one (and 9 scatter-add adjoints in the backward).
+        # Layout below is sliced back apart.
+        attr = pack_attr_rows(pack)
+        g = attr[tri_id]                        # (N, 29)
     v0, e1, e2 = g[:, 0:3], g[:, 3:6], g[:, 6:9]
     n_geo = g[:, 9:12]
     n0, n1, n2 = g[:, 12:15], g[:, 15:18], g[:, 18:21]
@@ -201,9 +245,12 @@ def _blpatch_surface(pool, o, d, t, bp_id):
 
 def make_surface(tris: TrianglePack, spheres: SpherePool, planes: PlanePool,
                  o: jax.Array, d: jax.Array, hit: Hit,
-                 blpatches=None) -> Surface:
+                 blpatches=None, tri_attr=None) -> Surface:
     """Build the Surface record for a wavefront of rays, branch-free
-    over primitive type (lax.switch would serialize; masks are cheap)."""
+    over primitive type (lax.switch would serialize; masks are cheap).
+
+    tri_attr: optional (N, 32) kernel-extracted attribute rows (see
+    ops/pallas_bvh with_attr) replacing the per-ray row gather."""
     from cse168_raytracer_tpu.ops.intersect import PRIM_BLPATCH
     tri_id = jnp.where(hit.prim_type == PRIM_TRI, hit.prim_id, 0)
     sph_id = jnp.where(hit.prim_type == PRIM_SPHERE, hit.prim_id, 0)
@@ -213,7 +260,8 @@ def make_surface(tris: TrianglePack, spheres: SpherePool, planes: PlanePool,
     # though the lanes are masked later. Clamp t on misses.
     t_safe = jnp.where(hit.hit, hit.t, 1.0)
 
-    tp, tn, tgn, tuv, tm = _tri_surface(tris, o, d, tri_id)
+    tp, tn, tgn, tuv, tm = _tri_surface(tris, o, d, tri_id,
+                                        rows=tri_attr)
     sp, sn, sgn, suv, sm = _sphere_surface(spheres, o, d, t_safe, sph_id)
     pp, pn, pgn, puv, pm = _plane_surface(planes, o, d, t_safe, pl_id)
 
