@@ -67,9 +67,11 @@ import os as _os_t
 # den/t planar groups of K lanes each; bytes/tri are constant in K, so
 # bigger leaves trade wasted tri tests (free, on the MXU) for fewer
 # leaf visits (the per-visit overhead and, on the HBM path, the DMA).
-# TPU A/B, fwd+bwd ms/step:  bunny1 32: 13.8  64: 12.9  128: 13.0
-#                            bunny20 32: 85.8  64: 76.6  128: 75.2
-K = int(_os_t.environ.get("CSE168_LEAF_K", "64"))
+# TPU A/B, fwd+bwd ms/step (r05, with in-kernel attr extraction):
+#   bunny1  64: 9.88  128: 9.84      bunny20  64: 59.9  128: 59.2
+# (r04 pre-attr numbers: bunny1 32: 13.8 64: 12.9 128: 13.0;
+#  bunny20 32: 85.8 64: 76.6 128: 75.2)
+K = int(_os_t.environ.get("CSE168_LEAF_K", "128"))
 # rays per subtile walk. TPU A/B on bunny1 512^2 (closest / shadow ms):
 # 128: 9.2/12.1   256: 6.7/8.0   512: 6.1/7.9   1024: 7.2/9.8
 # — wider tiles amortize the per-visit scalar overhead across more rays
@@ -83,6 +85,9 @@ _BIGF = 3.0e37  # python-float mirror of intersect._BIG (kernels cannot
 # node fetch lands directly in sublane layout (no (1,32)->(32,1)
 # relayout per visit) at the cost of 128x lane-padded VMEM (16 KB/node)
 _CBOX_BCAST = _os_t.environ.get("CSE168_CBOX_BCAST", "0") == "1"
+# A/B flag: near-first ordered pushes in the 4-wide internal visit
+# (see the rank-coded push in _traverse4_one.do_internal)
+_ORDERED_PUSH = _os_t.environ.get("CSE168_ORDERED_PUSH", "0") == "1"
 
 # leaf-matmul precision knob (set before import; used for TPU A/Bs —
 # HIGHEST won: golden parity at <=2/255 needs exact f32 Pluecker sums)
@@ -1035,17 +1040,69 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                 jnp.minimum(tf[0:4], tf[4:8]),
                 jnp.minimum(tf[8:12], jnp.broadcast_to(curmax, (4, T))))
             ok4 = (ent4 <= ext4).astype(jnp.float32)   # (4, T)
-            # ONE vector->scalar sync: per-slot any() as a bitmask
-            pres = jnp.max(ok4, axis=1, keepdims=True)  # (4, 1)
-            mask = jnp.sum(pres * bitw).astype(jnp.int32)
-            for i in range(4):
-                # links live in SMEM: plain scalar-core reads, where a
-                # cbox_ref[node, 24+i] VMEM read costs a vector load +
-                # lane extract + vector->scalar sync EACH (measured:
-                # bunny1 closest-hit 6.15 -> 5.51 ms, shadow 7.11 ->
-                # 5.89; bunny20 step 76.5 -> 71.6)
-                stack_i[sp] = links_ref[node * 4 + i]
-                sp = sp + ((mask >> i) & 1)
+            if not _ORDERED_PUSH:
+                # ONE vector->scalar sync: per-slot any() as a bitmask
+                pres = jnp.max(ok4, axis=1, keepdims=True)  # (4, 1)
+                code = jnp.sum(pres * bitw)
+                if any_hit:
+                    # fold the all-rays-retired exit into the SAME
+                    # scalar transfer (bit 4): the leaf visit then
+                    # carries no sync at all (it used to jnp.all per
+                    # visit); retirement fires at most one internal
+                    # visit later
+                    alive = jnp.max(jnp.where(curmax >= tmin_r, 16.0,
+                                              0.0))
+                    code = code + alive
+                mask = code.astype(jnp.int32)
+                for i in range(4):
+                    # links live in SMEM: plain scalar-core reads,
+                    # where a cbox_ref[node, 24+i] VMEM read costs a
+                    # vector load + lane extract + vector->scalar sync
+                    # EACH (measured: bunny1 closest-hit 6.15 -> 5.51
+                    # ms, shadow 7.11 -> 5.89; bunny20 step 76.5 ->
+                    # 71.6)
+                    stack_i[sp] = links_ref[node * 4 + i]
+                    sp = sp + ((mask >> i) & 1)
+                if any_hit:
+                    sp = jnp.where((mask >> 4) > 0, sp, 0)
+                return sp
+            # ORDERED pushes: rank the present slots by the tile's
+            # minimum entry distance and push FAR-first (LIFO pops
+            # near-first), all encoded in ONE octal-digit scalar so
+            # the vector->scalar sync count stays 1:
+            #   code = sum_i present_i * (i+1) * 8^rank_i
+            # (4 digits, < 4096, exact in f32). Near-first descent
+            # tightens best-t sooner (closest-hit culling) and finds
+            # occluders sooner (any-hit retirement) — the reference's
+            # ordered descent (BVH.cpp:586-651) at tile granularity.
+            entm = jnp.min(jnp.where(ok4 > 0, ent4, jnp.inf),
+                           axis=1, keepdims=True)            # (4, 1)
+            entmT = entm.reshape(1, 4)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (4, 4), 1)
+            eI = jnp.broadcast_to(entm, (4, 4))              # [i,j]=e_i
+            eJ = jnp.broadcast_to(entmT, (4, 4))             # [i,j]=e_j
+            less = (eJ < eI) | ((eJ == eI) & (jj < ii))
+            rank = jnp.sum(less.astype(jnp.float32), axis=1,
+                           keepdims=True)                    # (4, 1)
+            pow8 = jnp.where(rank < 1, 1.0,
+                             jnp.where(rank < 2, 8.0,
+                                       jnp.where(rank < 3, 64.0, 512.0)))
+            present = (entm < jnp.inf).astype(jnp.float32)
+            slotw = (1.0 + jax.lax.broadcasted_iota(
+                jnp.int32, (4, 1), 0).astype(jnp.float32))
+            codef = jnp.sum(present * slotw * pow8)
+            if any_hit:
+                codef = codef + jnp.max(
+                    jnp.where(curmax >= tmin_r, 4096.0, 0.0))
+            code = codef.astype(jnp.int32)
+            for r in (3, 2, 1, 0):
+                dig = (code >> (3 * r)) & 7
+                has = jnp.where(dig > 0, 1, 0)
+                stack_i[sp] = links_ref[node * 4 + dig - has]
+                sp = sp + has
+            if any_hit:
+                sp = jnp.where((code >> 12) > 0, sp, 0)
             return sp
 
     def shade_leaf(leaf, w, aw, sp):
@@ -1075,6 +1132,14 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                   & (tt >= tmin_r) & (tt <= curmax_c)
                   & (jnp.abs(den) >= _DEN_TINY))
             tm = jnp.where(ok, tt, _BIGF)
+            if any_hit:
+                # occlusion only needs existence: skip the argmin /
+                # id bookkeeping and the per-leaf all-retired sync
+                # (the internal visit now carries the exit bit)
+                lt = jnp.min(tm, axis=0, keepdims=True)    # (1, T)
+                out_t_ref[0, t_idx, :] = jnp.minimum(
+                    out_t_ref[0, t_idx, :], lt[0])
+                return sp
             lt = jnp.min(tm, axis=0, keepdims=True)        # (1, T)
             lj = jnp.argmin(tm, axis=0).astype(jnp.int32).reshape(1, T)
             better = lt < best
@@ -1108,10 +1173,6 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                 out_attr_ref[0, t_idx] = jnp.where(
                     jnp.broadcast_to(better, (32, T)), prod,
                     out_attr_ref[0, t_idx])
-            if any_hit:
-                occ_or_dead = ((out_t_ref[0, t_idx, :].reshape(1, T)
-                                < _BIGF) | (tmax_r < tmin_r))
-                sp = jnp.where(jnp.all(occ_or_dead), 0, sp)
             return sp
 
     if leaf_dma is None:
