@@ -88,6 +88,18 @@ _CBOX_BCAST = _os_t.environ.get("CSE168_CBOX_BCAST", "0") == "1"
 # A/B flag: near-first ordered pushes in the 4-wide internal visit
 # (see the rank-coded push in _traverse4_one.do_internal)
 _ORDERED_PUSH = _os_t.environ.get("CSE168_ORDERED_PUSH", "0") == "1"
+# slots per wide node (4 or 8): box tests are near-free VPU rows, so
+# wider nodes amortize the per-visit scalar overhead (cond + sync +
+# stack traffic) over more of them; see _collapse_wide. Measured on
+# the chip (fwd+bwd step): bunny1 (VMEM tier) 4: 9.73  8: 10.12;
+# bunny20 (HBM tier) 4: 60.8  8: 55.6 — wider wins where internal
+# visits dominate, so the tiers default differently (CSE168_NODE_W
+# forces both). The kernel reads the width off cbox.shape[1] // 8.
+_W_ENV = _os_t.environ.get("CSE168_NODE_W")
+W_VMEM = int(_W_ENV or "4")
+W_HBM = int(_W_ENV or "8")
+if _ORDERED_PUSH and (W_VMEM != 4 or W_HBM != 4):
+    raise ValueError("CSE168_ORDERED_PUSH supports W=4 only")
 
 # leaf-matmul precision knob (set before import; used for TPU A/Bs —
 # HIGHEST won: golden parity at <=2/255 needs exact f32 Pluecker sums)
@@ -446,12 +458,14 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
         raise ValueError("with_attr needs a 4-wide accel closest-hit")
     if is4 and _CBOX_BCAST:
         accel = accel._replace(cbox=accel.cbox.reshape(
-            accel.cbox.shape[0], 32, 1))
+            accel.cbox.shape[0], accel.cbox.shape[1], 1))
     kern_fn = _traverse4_kernel if is4 else _traverse_kernel
+    wv = accel.cbox.shape[-2 if _CBOX_BCAST else -1] // 8 if is4 else 0
     kern = functools.partial(kern_fn, any_hit=any_hit,
                              with_stats=with_stats,
                              **({"leaf_hbm": True} if hbm else {}),
-                             **({"with_attr": True} if with_attr else {}))
+                             **({"with_attr": True} if with_attr else {}),
+                             **({"width": wv} if is4 else {}))
     s = accel.stack_depth
     ray_specs = [
         pl.BlockSpec((1, GSUB, 8, T), lambda i: (i, 0, 0, 0),
@@ -528,9 +542,9 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
             prim_id=best_id, hit=hit)
     ret = (h,)
     if with_stats:
-        # internal visits test 2 (4-wide: 4) child boxes; leaf visits
+        # internal visits test 2 (wide: W) child boxes; leaf visits
         # test K triangles
-        box_tests = (4 if is4 else 2) * outs.pop(0).reshape(n_pad)[:n]
+        box_tests = (wv if is4 else 2) * outs.pop(0).reshape(n_pad)[:n]
         tri_tests = K * outs.pop(0).reshape(n_pad)[:n]
         ret = ret + (box_tests, tri_tests)
     if with_attr:
@@ -768,115 +782,164 @@ def _pb4_unflatten(aux, children):
 jax.tree_util.register_pytree_node(PallasBVH4, _pb4_flatten, _pb4_unflatten)
 
 
-def _collapse_to_bvh4(nodes14: np.ndarray):
-    """Collapse a binary child-box tree (sah.py layout) into 4-wide
-    nodes. Returns (cbox4 (N4, 32) f32, depth4).
+def _collapse_wide(nodes14: np.ndarray, W: int):
+    """Collapse a binary child-box tree (sah.py layout) into W-wide
+    nodes (W=4 default, W=8 via CSE168_NODE_W). Returns
+    (cbox (N, 8W) f32, links (N, W) i32, depth).
 
     Row layout is PLANE-GROUPED for the kernel's slot-parallel slab
-    test: cols [lo_x(slot0..3) lo_y(4) lo_z(4) | hi_x(4) hi_y(4)
-    hi_z(4) | link(4) | pad(4)] — so the kernel's (12, T) lo/hi plane
-    blocks slice into aligned (4, T) per-axis groups whose row i is
-    slot i, and all four slots reduce together."""
+    test: cols [lo_x(slot0..W-1) lo_y(W) lo_z(W) | hi_x(W) hi_y(W)
+    hi_z(W) | pad(2W)] — the kernel's (3W, T) lo/hi plane blocks slice
+    into aligned (W, T) per-axis groups whose row i is slot i, and all
+    W slots reduce together. Links live in a separate flat i32 array
+    (SMEM-resident in the kernel).
+
+    The binary->W-ary contraction is a DP that MINIMIZES the wide-node
+    count (the per-visit scalar overhead — cond, vector->scalar sync,
+    stack traffic — is width-independent, and box tests are near-free
+    VPU rows, so fewer/fuller nodes is strictly better):
+      g(v, s) = min wide-nodes to present v's subtree as s slots
+      g(v, s>=2) = min over sa+sb=s of g(a, sa) + g(b, sb)
+      g(v, 1)    = 1 + min over 2<=s<=W of g(v, s)
+    A greedy top-down expansion was measured leaving ~2/3 of the nodes
+    with just 2 occupied slots (leaf-pair leftovers); the DP emits
+    near-full nodes (bunny1 W=8: 353 greedy -> 118 DP nodes)."""
     n_bin = nodes14.shape[0]
-    rows = []           # [24 box floats + 4 raw links (old ids / ~leaf)]
-    new_id = {}         # old internal id -> new id (only collapsed roots)
-    order = []          # old ids in emission order
+    ch = nodes14[:, 12:14].astype(np.int64)
+    INF = np.int64(1) << 40
+    g = np.full((n_bin, W + 1), INF, np.int64)      # cols 1..W used
+    split = np.zeros((n_bin, W + 1), np.int64)
+    leaf_row = np.full(W + 1, INF, np.int64)
+    leaf_row[1] = 0
+    order = []
     stack = [0]
     while stack:
-        old = stack.pop()
-        if old in new_id:
-            continue
-        new_id[old] = len(rows)
-        order.append(old)
-        r = nodes14[old]
-        slots = []      # (lo(3), hi(3), link) in child order
-        for side in (0, 1):
-            box = r[side * 6:side * 6 + 6]
-            link = int(r[12 + side])
-            if link >= 0:           # internal child: expand to its kids
-                rr = nodes14[link]
-                for s2 in (0, 1):
-                    slots.append((rr[s2 * 6:s2 * 6 + 3],
-                                  rr[s2 * 6 + 3:s2 * 6 + 6],
-                                  int(rr[12 + s2])))
-            else:                   # leaf child: keep as its own slot
-                slots.append((box[0:3], box[3:6], link))
-        row = np.empty(28, np.float32)
-        for i in range(4):
+        v = stack.pop()
+        order.append(v)
+        for c in ch[v]:
+            if c >= 0:
+                stack.append(int(c))
+    for v in reversed(order):
+        a, b = int(ch[v][0]), int(ch[v][1])
+        ga = leaf_row if a < 0 else g[a]
+        gb = leaf_row if b < 0 else g[b]
+        for s in range(2, W + 1):
+            costs = ga[1:s] + gb[s - 1:0:-1]        # sa = 1..s-1
+            sa = int(np.argmin(costs)) + 1
+            g[v, s] = costs[sa - 1]
+            split[v, s] = sa
+        s_best = int(np.argmin(g[v, 2:W + 1])) + 2
+        g[v, 1] = 1 + g[v, s_best]
+        split[v, 1] = s_best
+
+    rows, linkrows = [], []
+    new_id = {}
+
+    def collect(v, s):
+        """v's subtree as s slot entries [(lo, hi, raw_link)]."""
+        r = nodes14[v]
+        a, b = int(ch[v][0]), int(ch[v][1])
+        if s == 1:
+            return None     # unreachable: callers split s >= 2
+        sa = int(split[v, s])
+        out = []
+        for c, box, sc in ((a, r[0:6], sa), (b, r[6:12], s - sa)):
+            if sc == 1:
+                out.append((box[0:3], box[3:6], c))
+            else:
+                out.extend(collect(c, sc))
+        return out
+
+    def emit(v):
+        if v in new_id:
+            return new_id[v]
+        my = len(rows)
+        new_id[v] = my
+        rows.append(None)
+        linkrows.append(None)
+        slots = collect(v, int(split[v, 1]))
+        row = np.empty(6 * W, np.float32)
+        lrow = np.empty(W, np.int64)
+        for i in range(W):
             if i < len(slots):
                 lo, hi, link = slots[i]
                 for a in range(3):
-                    row[a * 4 + i] = lo[a]
-                    row[12 + a * 4 + i] = hi[a]
-                row[24 + i] = link
-                if link >= 0:
-                    stack.append(link)
+                    row[a * W + i] = lo[a]
+                    row[3 * W + a * W + i] = hi[a]
+                # internal slot: emit the child wide node (recursion
+                # depth = wide-tree depth, ~log_W leaves)
+                lrow[i] = emit(link) if link >= 0 else link
             else:
                 # empty slot: a DEGENERATE POINT at +infinity (lo == hi
-                # == _FAR, the 2-wide sentinel): for almost any ray the
-                # per-axis entry t's differ (or overflow to +inf on at
-                # most two axes), so ent > ext and the slot never
-                # pushes. An INVERTED box (hi < lo) would be wrong here
-                # — per-axis tn=min/tf=max of the two plane t's spans
-                # (-inf, inf) for straddling planes, so an inverted box
-                # ACCEPTS every ray. The measure-zero escape (a ray
-                # aimed exactly at the degenerate point makes ent ==
-                # ext pass) is made TERMINATING by linking the slot to
-                # leaf 0 (~0): a spurious leaf visit tests real
-                # triangles against the usual acceptance rules —
-                # redundant work, never a wrong hit, never a loop
-                # (link 0 would re-push the root forever).
+                # == _FAR): for almost any ray the per-axis entry t's
+                # differ (or overflow to +inf on at most two axes), so
+                # ent > ext and the slot never pushes. An INVERTED box
+                # (hi < lo) would be wrong here — per-axis tn=min/
+                # tf=max of the two plane t's spans (-inf, inf) for
+                # straddling planes, so an inverted box ACCEPTS every
+                # ray. The measure-zero escape (a ray aimed exactly at
+                # the degenerate point makes ent == ext pass) is made
+                # TERMINATING by linking the slot to leaf 0 (~0): a
+                # spurious leaf visit tests real triangles against the
+                # usual acceptance rules — redundant work, never a
+                # wrong hit, never a loop (an internal link 0 would
+                # re-push the root forever).
                 for a in range(3):
-                    row[a * 4 + i] = _FAR
-                    row[12 + a * 4 + i] = _FAR
-                row[24 + i] = float(~0)
-        rows.append(row)
-    cbox4 = np.zeros((len(rows), 32), np.float32)
-    cbox4[:, :28] = np.stack(rows)
-    # remap internal links old->new (col i = slot i's lo_x: < _FAR
-    # means the slot is occupied)
-    for j in range(len(rows)):
-        for i in range(4):
-            link = int(cbox4[j, 24 + i])
-            if cbox4[j, i] < _FAR and link >= 0:
-                cbox4[j, 24 + i] = float(new_id[link])
+                    row[a * W + i] = _FAR
+                    row[3 * W + a * W + i] = _FAR
+                lrow[i] = ~0
+        rows[my] = row
+        linkrows[my] = lrow
+        return my
+
+    import sys as _sys
+    old_lim = _sys.getrecursionlimit()
+    _sys.setrecursionlimit(max(old_lim, 100_000))
+    try:
+        emit(0)
+    finally:
+        _sys.setrecursionlimit(old_lim)
+    n = len(rows)
+    cbox = np.zeros((n, 8 * W), np.float32)
+    cbox[:, :6 * W] = np.stack(rows)
+    links = np.stack(linkrows).astype(np.int32)
     # depth of the collapsed tree (for stack sizing): BFS
-    depth4 = 1
+    depth = 1
     frontier = {0}
     seen = set()
     while frontier:
         nxt = set()
         for j in frontier:
             seen.add(j)
-            for i in range(4):
-                link = int(cbox4[j, 24 + i])
-                if cbox4[j, i] < _FAR and link >= 0 \
-                        and link not in seen:
+            for i in range(W):
+                link = int(links[j, i])
+                if cbox[j, i] < _FAR and link >= 0 and link not in seen:
                     nxt.add(link)
         frontier = nxt
         if frontier:
-            depth4 += 1
-    assert len(seen) == len(rows) <= n_bin
-    return cbox4, depth4
+            depth += 1
+    assert len(seen) == n <= max(1, nodes14.shape[0])
+    return cbox, links, depth
 
 
-def build_pallas_bvh4_sah(pack: TrianglePack):
-    """SAH build collapsed to 4-wide (leaf table identical to the
-    2-wide build; only the inner-node topology changes)."""
+def build_pallas_bvh4_sah(pack: TrianglePack, width: int | None = None):
+    """SAH build collapsed to `width`-wide nodes (leaf table identical
+    to the 2-wide build; only the inner-node topology changes).
+    width=None uses the VMEM-tier default W_VMEM."""
     from cse168_raytracer_tpu.ops.sah import sah_build_and_reorder
     new_pack, nodes14, n_leaves, _depth = sah_build_and_reorder(
         pack, K, upload_plucker=False)
-    cbox4, depth4 = _collapse_to_bvh4(nodes14.astype(np.float32))
-    accel = PallasBVH4(cbox=jnp.asarray(cbox4),
-                       links=jnp.asarray(
-                           cbox4[:, 24:28].astype(np.int32).reshape(-1)),
+    wv = W_VMEM if width is None else width
+    cboxw, linksw, depthw = _collapse_wide(nodes14.astype(np.float32), wv)
+    accel = PallasBVH4(cbox=jnp.asarray(cboxw),
+                       links=jnp.asarray(linksw.reshape(-1)),
                        leafW=jnp.asarray(_leafW_from_pack(new_pack,
                                                           n_leaves)),
                        attrA=jnp.asarray(_attrA_from_pack(new_pack,
                                                           n_leaves)),
-                       n_nodes=int(cbox4.shape[0]),
+                       n_nodes=int(cboxw.shape[0]),
                        n_leaves=int(n_leaves),
-                       stack_depth=int(3 * depth4 + 6))
+                       stack_depth=int((wv - 1) * depthw + 8))
     # w6/w4 live on in leafW only (see build_pack_from_arrays)
     return new_pack._replace(w6=None, w4=None), accel
 
@@ -919,15 +982,20 @@ jax.tree_util.register_pytree_node(PallasBVHHBM, _pbh_flatten,
                                    _pbh_unflatten)
 
 
-def build_pallas_bvh4_hbm(pack: TrianglePack):
-    """SAH BVH4 over the whole pack with HBM-resident leaf tables."""
-    new_pack, a4 = build_pallas_bvh4_sah(pack)
+def build_pallas_bvh4_hbm(pack: TrianglePack, width: int | None = None):
+    """SAH wide BVH over the whole pack with HBM-resident leaf tables
+    (width=None uses the HBM-tier default W_HBM: internal visits
+    dominate at this scale, and wider nodes amortize their scalar
+    overhead — see the W constants)."""
+    new_pack, a4 = build_pallas_bvh4_sah(
+        pack, width=W_HBM if width is None else width)
     return new_pack, PallasBVHHBM(*a4)
 
 
 def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                       *rest, any_hit: bool, with_stats: bool,
-                      with_attr: bool = False, leaf_hbm: bool = False):
+                      with_attr: bool = False, leaf_hbm: bool = False,
+                      width: int = 4):
     """Narrow 4-wide variant: each T-ray sub-tile walks the BVH4 with
     a private stack (the narrow/wide trade measured on TPU: narrow
     tiles do ~8x fewer wasted leaf tests; wide tiles amortize scalar
@@ -954,7 +1022,7 @@ def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                        attrA_ref, out_t_ref, out_id_ref, out_attr_ref,
                        stack_i, stack_t,
                        t_idx, any_hit=any_hit, stats_refs=stats_refs,
-                       leaf_dma=leaf_dma)
+                       leaf_dma=leaf_dma, width=width)
         return 0
 
     jax.lax.fori_loop(0, GSUB, sub_tile, 0)
@@ -963,7 +1031,9 @@ def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
 def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                    attrA_ref, out_t_ref, out_id_ref, out_attr_ref,
                    stack_i, stack_t, t_idx,
-                   *, any_hit: bool, stats_refs=None, leaf_dma=None):
+                   *, any_hit: bool, stats_refs=None, leaf_dma=None,
+                   width: int = 4):
+    W = width
     """One 128-ray subtile walk, engineered for minimum per-visit
     overhead (measured r03: 709 ns/visit — ~670 cycles for ~30 cycles
     of vector math; the loop was all scalar sync and layout churn):
@@ -994,8 +1064,8 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
     rcp3 = r8[3:6, :]
     tmin_r = r8[6:7, :]
     tmax_r = r8[7:8, :]
-    o12 = jnp.repeat(o3, 4, axis=0)      # (12, T) [x x x x y... z...]
-    rcp12 = jnp.repeat(rcp3, 4, axis=0)  # matches plane-grouped cbox
+    o12 = jnp.repeat(o3, W, axis=0)      # (3W, T) [x*W y*W z*W]
+    rcp12 = jnp.repeat(rcp3, W, axis=0)  # matches plane-grouped cbox
 
     out_t_ref[0, t_idx, :] = jnp.full((T,), _BIGF, jnp.float32)
     out_id_ref[0, t_idx, :] = jnp.zeros((T,), jnp.int32)
@@ -1006,9 +1076,9 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
         stats_refs[1][0, t_idx, :] = jnp.zeros((T,), jnp.int32)
     stack_i[0] = 0
     sp0 = jnp.where(jnp.any(tmax_r >= tmin_r), 1, 0)
-    # [1, 2, 4, 8] bit weights (iota-built: kernels cannot capture
+    # [1, 2, 4, ...] bit weights (iota-built: kernels cannot capture
     # jnp.array constants; tpu.iota must be integer -> shift then cast)
-    bitw = (1 << jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
+    bitw = (1 << jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
             ).astype(jnp.float32)
 
     def do_internal(node, sp):
@@ -1020,9 +1090,9 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
             else:
                 curmax = jnp.minimum(tmax_r, best)
             cb = (cbox_ref[node] if _CBOX_BCAST
-                  else cbox_ref[node, :].reshape(32, 1))
-            cbL = jnp.broadcast_to(cb[0:12], (12, T))
-            cbH = jnp.broadcast_to(cb[12:24], (12, T))
+                  else cbox_ref[node, :].reshape(8 * W, 1))
+            cbL = jnp.broadcast_to(cb[0:3 * W], (3 * W, T))
+            cbH = jnp.broadcast_to(cb[3 * W:6 * W], (3 * W, T))
             tA = (cbL - o12) * rcp12
             tB = (cbH - o12) * rcp12
             # 0*inf -> NaN: that axis must not constrain the interval
@@ -1030,19 +1100,21 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
             tnB = jnp.where(jnp.isnan(tB), -jnp.inf, tB)
             tfA = jnp.where(jnp.isnan(tA), jnp.inf, tA)
             tfB = jnp.where(jnp.isnan(tB), jnp.inf, tB)
-            tn = jnp.minimum(tnA, tnB)          # (12, T)
+            tn = jnp.minimum(tnA, tnB)          # (3W, T)
             tf = jnp.maximum(tfA, tfB)
-            # row i of each (4, T) axis-group is slot i
+            # row i of each (W, T) axis-group is slot i
             ent4 = jnp.maximum(
-                jnp.maximum(tn[0:4], tn[4:8]),
-                jnp.maximum(tn[8:12], jnp.broadcast_to(tmin_r, (4, T))))
+                jnp.maximum(tn[0:W], tn[W:2 * W]),
+                jnp.maximum(tn[2 * W:3 * W],
+                            jnp.broadcast_to(tmin_r, (W, T))))
             ext4 = jnp.minimum(
-                jnp.minimum(tf[0:4], tf[4:8]),
-                jnp.minimum(tf[8:12], jnp.broadcast_to(curmax, (4, T))))
-            ok4 = (ent4 <= ext4).astype(jnp.float32)   # (4, T)
+                jnp.minimum(tf[0:W], tf[W:2 * W]),
+                jnp.minimum(tf[2 * W:3 * W],
+                            jnp.broadcast_to(curmax, (W, T))))
+            ok4 = (ent4 <= ext4).astype(jnp.float32)   # (W, T)
             if not _ORDERED_PUSH:
                 # ONE vector->scalar sync: per-slot any() as a bitmask
-                pres = jnp.max(ok4, axis=1, keepdims=True)  # (4, 1)
+                pres = jnp.max(ok4, axis=1, keepdims=True)  # (W, 1)
                 code = jnp.sum(pres * bitw)
                 if any_hit:
                     # fold the all-rays-retired exit into the SAME
@@ -1050,21 +1122,21 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                     # carries no sync at all (it used to jnp.all per
                     # visit); retirement fires at most one internal
                     # visit later
-                    alive = jnp.max(jnp.where(curmax >= tmin_r, 16.0,
-                                              0.0))
+                    alive = jnp.max(jnp.where(curmax >= tmin_r,
+                                              float(1 << W), 0.0))
                     code = code + alive
                 mask = code.astype(jnp.int32)
-                for i in range(4):
+                for i in range(W):
                     # links live in SMEM: plain scalar-core reads,
                     # where a cbox_ref[node, 24+i] VMEM read costs a
                     # vector load + lane extract + vector->scalar sync
                     # EACH (measured: bunny1 closest-hit 6.15 -> 5.51
                     # ms, shadow 7.11 -> 5.89; bunny20 step 76.5 ->
                     # 71.6)
-                    stack_i[sp] = links_ref[node * 4 + i]
+                    stack_i[sp] = links_ref[node * W + i]
                     sp = sp + ((mask >> i) & 1)
                 if any_hit:
-                    sp = jnp.where((mask >> 4) > 0, sp, 0)
+                    sp = jnp.where((mask >> W) > 0, sp, 0)
                 return sp
             # ORDERED pushes: rank the present slots by the tile's
             # minimum entry distance and push FAR-first (LIFO pops
