@@ -115,6 +115,16 @@ if _prec not in _PRECISIONS:
         f"CSE168_LEAF_PRECISION={_prec!r}: expected one of "
         f"{sorted(_PRECISIONS)}")
 _LEAF_PRECISION = _PRECISIONS[_prec]
+# HBM-tier leaf matmul: hand-rolled bf16x2 (split both operands into
+# bf16 hi + bf16 residual; 3 one-pass DEFAULT dots whi@rhi + whi@rlo +
+# wlo@rhi) instead of HIGHEST's 6 passes. ~1.5e-5 relative error on
+# the Pluecker sums — invisible at render scale, but NOT bit-exact, so
+# the VMEM tier (every golden-parity scene) keeps exact HIGHEST.
+# Mosaic exposes no 3-pass HIGH inside kernels; plain DEFAULT (one
+# bf16 pass, ~1e-2 relative) corrupts best-t enough that bunny20
+# traversal visits nearly double. Set CSE168_LEAF_BF16X2=0 to force
+# HIGHEST everywhere.
+_LEAF_BF16X2_HBM = _os.environ.get("CSE168_LEAF_BF16X2", "1") == "1"
 
 
 class PallasBVH(NamedTuple):
@@ -1034,6 +1044,7 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                    *, any_hit: bool, stats_refs=None, leaf_dma=None,
                    width: int = 4):
     W = width
+    bf16x2 = _LEAF_BF16X2_HBM and leaf_dma is not None
     """One 128-ray subtile walk, engineered for minimum per-visit
     overhead (measured r03: 709 ns/visit — ~670 cycles for ~30 cycles
     of vector math; the loop was all scalar sync and layout churn):
@@ -1177,14 +1188,27 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                 sp = jnp.where((code >> 12) > 0, sp, 0)
             return sp
 
+    if bf16x2:
+        rhi = rmatT.astype(jnp.bfloat16).astype(jnp.float32)
+        rlo = rmatT - rhi
+
     def shade_leaf(leaf, w, aw, sp):
             """Acceptance + best-t update for leaf's operand block w;
             aw is the leaf's (32, K) attribute block (or None) for
             in-kernel winner-attribute extraction."""
-            nums = jax.lax.dot_general(
-                w, rmatT, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_LEAF_PRECISION)                 # (4K, T)
+            if bf16x2:
+                whi = w.astype(jnp.bfloat16).astype(jnp.float32)
+                wlo = w - whi
+                dot = lambda x, y: jax.lax.dot_general(
+                    x, y, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+                nums = dot(whi, rhi) + dot(whi, rlo) + dot(wlo, rhi)
+            else:
+                nums = jax.lax.dot_general(
+                    w, rmatT, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_LEAF_PRECISION)             # (4K, T)
             b_n = nums[0:K]                                # (K, T) each
             g_n = nums[K:2 * K]
             den = nums[2 * K:3 * K]
