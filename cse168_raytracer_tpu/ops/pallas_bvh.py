@@ -85,6 +85,13 @@ _BIGF = 3.0e37  # python-float mirror of intersect._BIG (kernels cannot
 # node fetch lands directly in sublane layout (no (1,32)->(32,1)
 # relayout per visit) at the cost of 128x lane-padded VMEM (16 KB/node)
 _CBOX_BCAST = _os_t.environ.get("CSE168_CBOX_BCAST", "0") == "1"
+# HBM-tier leaf-DMA ring depth (power of 2): a leaf's copies get
+# R-1 leaf pops of cover before they are waited on. Measured bunny20
+# step fwd+bwd: 2: 47.2  4: 49.2  8: 52.5 — deeper rings DEFER best-t
+# tightening and the culling loss (visits 43.3k -> 48.8k) outweighs
+# the extra DMA cover (ns/visit was already flat, i.e. latency hidden)
+_DMA_RING = int(_os_t.environ.get("CSE168_DMA_RING", "2"))
+assert _DMA_RING & (_DMA_RING - 1) == 0, "ring depth must be 2^n"
 # A/B flag: near-first ordered pushes in the 4-wide internal visit
 # (see the rank-coded push in _traverse4_one.do_internal)
 _ORDERED_PUSH = _os_t.environ.get("CSE168_ORDERED_PUSH", "0") == "1"
@@ -528,14 +535,16 @@ def pallas_bvh_closest_hit_triangles(accel: PallasBVH, o: jax.Array,
             pltpu.SMEM((s,), jnp.int32),
             pltpu.SMEM((s,), jnp.float32),
         ] + ([
-            # 2-slot leaf DMA landing pads + per-slot semaphores (the
-            # 1-deep pipeline alternates slots; see _traverse4_one)
-            pltpu.VMEM((2, 16, 4 * K), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            # R-slot leaf DMA ring: landing pads + per-slot semaphores
+            # + SMEM ring of pending leaf ids (see _traverse4_one)
+            pltpu.VMEM((_DMA_RING, 16, 4 * K), jnp.float32),
+            pltpu.SemaphoreType.DMA((_DMA_RING,)),
         ] if hbm else []) + ([
-            pltpu.VMEM((2, 16, 2 * K), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ] if (hbm and with_attr) else []),
+            pltpu.VMEM((_DMA_RING, 16, 2 * K), jnp.float32),
+            pltpu.SemaphoreType.DMA((_DMA_RING,)),
+        ] if (hbm and with_attr) else []) + ([
+            pltpu.SMEM((_DMA_RING,), jnp.int32),
+        ] if hbm else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
@@ -1025,7 +1034,7 @@ def _traverse4_kernel(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
     if leaf_hbm:
         lw_scratch, lw_sem = rest.pop(0), rest.pop(0)
         aw = (rest.pop(0), rest.pop(0)) if with_attr else (None, None)
-        leaf_dma = (lw_scratch, lw_sem) + aw
+        leaf_dma = (lw_scratch, lw_sem) + aw + (rest.pop(0),)
 
     def sub_tile(t_idx, _):
         _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
@@ -1291,18 +1300,17 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
         jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
         return
 
-    # ---- HBM leaf tables: 1-deep DMA pipeline ----
-    # A leaf pop STARTS its ~8 KB HBM->VMEM copy into the idle scratch
-    # slot and processes the PREVIOUS leaf (whose copy has been in
-    # flight since its own pop) — the DMA latency hides behind the
-    # interleaved node visits and the previous leaf's matmul instead of
-    # stalling every leaf visit. At most one copy is in flight; slots
-    # alternate, so the slot being read is never the one being filled.
-    # Deferred processing only ever sees a LATER (tighter) best-t, so
-    # closest-hit results are identical; the any-hit early-out fires at
-    # most one visit later.
-    # (2, 16, 4K) VMEM + sems; attr slots mirror them when extracting
-    lw_scratch, lw_sem, aw_scratch, aw_sem = leaf_dma
+    # ---- HBM leaf tables: R-slot DMA ring ----
+    # A leaf pop STARTS its HBM->VMEM copies (leafW + attrA) into the
+    # ring slot at `tail` and defers processing; the oldest pending
+    # leaf is shaded only when the ring is full, by which point its
+    # copy has had R-1 leaf pops plus the interleaved internal visits
+    # to complete. Deferred processing only ever sees a LATER (tighter)
+    # best-t, so closest-hit results are identical; the any-hit
+    # retirement fires at most R-1 visits later. Ring ids live in SMEM
+    # (q_ref); in-flight count = tail - head <= R.
+    lw_scratch, lw_sem, aw_scratch, aw_sem, q_ref = leaf_dma
+    R = lw_scratch.shape[0]              # power of 2 (ring mask below)
 
     def leaf_copy(leaf, slot):
         return pltpu.make_async_copy(leafW_ref.at[leaf],
@@ -1314,50 +1322,56 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                                      aw_scratch.at[slot],
                                      aw_sem.at[slot])
 
+    def shade_oldest(sp, head):
+        slot = head & (R - 1)
+        leaf = q_ref[slot]
+        leaf_copy(leaf, slot).wait()
+        aw = None
+        if out_attr_ref is not None:
+            attr_copy(leaf, slot).wait()
+            aw = aw_scratch[slot]
+        return shade_leaf(leaf, lw_scratch[slot], aw, sp), head + 1
+
     def body(state):
-        sp, pend, slot = state
+        sp, head, tail = state
         sp = sp - 1
         node = stack_i[sp]
 
         def internal_(state):
-            sp, pend, slot = state
-            return (do_internal(node, sp), pend, slot)
+            sp, head, tail = state
+            return (do_internal(node, sp), head, tail)
 
         def leaf_(state):
-            sp, pend, slot = state
+            sp, head, tail = state
             if stats_refs is not None:
                 stats_refs[1][0, t_idx, :] = stats_refs[1][0, t_idx, :] + 1
+
+            def drain(s):
+                return shade_oldest(*s)
+
+            # free a slot first when the ring is full
+            sp, head = jax.lax.cond(tail - head >= R, drain,
+                                    lambda s: s, (sp, head))
             leaf = -node - 1
-            nslot = 1 - slot
-            leaf_copy(leaf, nslot).start()
+            slot = tail & (R - 1)
+            q_ref[slot] = leaf
+            leaf_copy(leaf, slot).start()
             if out_attr_ref is not None:
-                attr_copy(leaf, nslot).start()
+                attr_copy(leaf, slot).start()
+            return (sp, head, tail + 1)
 
-            def drain(sp):
-                leaf_copy(pend, slot).wait()
-                aw = None
-                if out_attr_ref is not None:
-                    attr_copy(pend, slot).wait()
-                    aw = aw_scratch[slot]
-                return shade_leaf(pend, lw_scratch[slot], aw, sp)
-
-            sp = jax.lax.cond(pend >= 0, drain, lambda s: s, sp)
-            return (sp, leaf, nslot)
-
-        return jax.lax.cond(node >= 0, internal_, leaf_, (sp, pend, slot))
+        return jax.lax.cond(node >= 0, internal_, leaf_,
+                            (sp, head, tail))
 
     state = jax.lax.while_loop(lambda s: s[0] > 0, body,
-                               (sp0, jnp.int32(-1), jnp.int32(0)))
-    sp_f, pend_f, slot_f = state
+                               (sp0, jnp.int32(0), jnp.int32(0)))
+    sp_f, head_f, tail_f = state
 
-    def drain_final(sp):
-        leaf_copy(pend_f, slot_f).wait()
-        aw = None
-        if out_attr_ref is not None:
-            attr_copy(pend_f, slot_f).wait()
-            aw = aw_scratch[slot_f]
-        return shade_leaf(pend_f, lw_scratch[slot_f], aw, sp)
+    # drain every in-flight copy (also after an any-hit early exit,
+    # keeping the semaphores clean)
+    def drain_body(s):
+        sp, head = s
+        return shade_oldest(sp, head)
 
-    # the last pop'd leaf's copy is still outstanding: wait + process
-    # (also runs after an any-hit early exit, keeping semaphores clean)
-    jax.lax.cond(pend_f >= 0, drain_final, lambda s: s, sp_f)
+    jax.lax.while_loop(lambda s: s[1] < tail_f, drain_body,
+                       (sp_f, head_f))
