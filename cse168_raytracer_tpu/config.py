@@ -44,6 +44,9 @@ class RenderConfig:
     photon_max_dist: float = 1e10    # PHOTON_MAX_DIST, Miro.h:16
     photon_samples: int = 500        # PHOTON_SAMPLES (kNN count), Miro.h:17
     photons_per_light: int = 200000  # PhotonsPerLightSource, Scene.h:67
+    # cell size multiplier of the sparse-region fallback grid level
+    # (ops/photon.build_grid coarse_factor); 0 disables the level
+    photon_coarse_factor: float = 8.0
     caustic_photons_per_light: int = 200000  # Scene.h:68
     photon_grid_radius: float = 0.25  # fixed-radius gather radius (TPU design choice;
                                       # replaces unbounded kNN, SURVEY.md #21)

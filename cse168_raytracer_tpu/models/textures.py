@@ -472,16 +472,30 @@ def image_lookup(tex: ImageTexture, u, v, lowres: bool = False):
     h, w = bm.shape[0], bm.shape[1]
     px = w * u
     py = h * v
-    x1 = jnp.trunc(px).astype(jnp.int32)
-    x2 = (x1 + 1) % w
-    x1 = x1 % w
-    x1e = px - x1.astype(px.dtype)       # reference: error vs wrapped x1
-    y1 = jnp.trunc(py).astype(jnp.int32)
-    y2 = (y1 + 1) % h
-    y1 = y1 % h
-    y1e = py - y1.astype(py.dtype)
-    x1 = jnp.clip(x1, 0, w - 1); x2 = jnp.clip(x2, 0, w - 1)
-    y1 = jnp.clip(y1, 0, h - 1); y2 = jnp.clip(y2, 0, h - 1)
+    # Texture.cpp:172-180 in exact C semantics: x1 = (int)px (truncate
+    # toward zero), then x1 %= w with C's SIGN-PRESERVING modulo, and
+    # the bilinear "error" is measured against that possibly-negative
+    # x1 — so out-of-[0,1) texture coordinates (TexturedSphere.obj has
+    # u down to -0.2 at the seam, v = 1.0 at a pole) EXTRAPOLATE with
+    # weights outside [0,1]. The reference then feeds the negative
+    # index to FreeImage_GetPixelColor, which is out of bounds
+    # (uninitialized-read in the original); the harness's backend
+    # (tools/golden_harness/freeimage_impl.cpp) defines that fetch as
+    # wraparound, and this lookup matches it: fetch indices wrap
+    # positively, weights keep the reference's C arithmetic.
+    x1c = jnp.trunc(px)
+    x2c = x1c + 1.0
+    x1m = jnp.fmod(x1c, w)               # C %: sign-preserving
+    x2m = jnp.fmod(x2c, w)
+    x1e = px - x1m
+    y1c = jnp.trunc(py)
+    y2c = y1c + 1.0
+    y1m = jnp.fmod(y1c, h)
+    y2m = jnp.fmod(y2c, h)
+    y1e = py - y1m
+    wrap = lambda a, m: a.astype(jnp.int32) % m   # python %: positive
+    x1 = wrap(x1m, w); x2 = wrap(x2m, w)
+    y1 = wrap(y1m, h); y2 = wrap(y2m, h)
     f = ((bm[y1, x1] * (1 - x1e)[..., None] + bm[y1, x2] * x1e[..., None])
          * (1 - y1e)[..., None]
          + (bm[y2, x1] * (1 - x1e)[..., None] + bm[y2, x2] * x1e[..., None])

@@ -282,6 +282,43 @@ def integrate(scene: Scene, static: SceneStatic, o: jax.Array, d: jax.Array,
     return radiance, stats
 
 
+def render_hdr_band(scene: Scene, static: SceneStatic, cam: Camera,
+                    cfg: RenderConfig, key: jax.Array, y0, n_rows: int):
+    """One row band [y0, y0 + n_rows) of the DETERMINISTIC render, for
+    host-level chunking into separate device dispatches: the tunneled
+    device kills any single dispatch running past ~5-10 minutes, and a
+    512^2 photon-mapped render (two 500-NN grid gathers per diffuse
+    hit) exceeds that as one dispatch. `y0` may be traced — one
+    compiled band serves the whole frame (tools/golden_tpu.py
+    render_photon loops bands under one jit). Returns
+    ((n_rows, w, 3) linear HDR in image row order, RenderStats)."""
+    w, h = cfg.width, cfg.height
+    assert n_rows % 8 == 0 and w % 16 == 0, "band needs 8x16 blocks"
+    import numpy as np_
+    ys_n, xs_n = np_.meshgrid(np_.arange(n_rows), np_.arange(w),
+                              indexing="ij")
+    xs_n = xs_n.reshape(-1)
+    ys_n = ys_n.reshape(-1)
+    # the 16x8 block ray order is translation-invariant in y for
+    # 8-aligned bands: build it band-local, offset ys by y0
+    order = np_.lexsort((xs_n % 16, ys_n % 8, xs_n // 16, ys_n // 8))
+    xs = jnp.asarray(xs_n[order])
+    ys_local = jnp.asarray(ys_n[order])
+    ys = ys_local + y0
+    n_pix = n_rows * w
+    pixel = (ys_local * w + xs).astype(jnp.int32)      # band-local ids
+    from cse168_raytracer_tpu.render.camera import eye_rays as _eye
+    o, d = _eye(cam, xs, ys, w, h, key=None)
+    radiance, stats = integrate(
+        scene, static, o, d, pixel, n_pix, key, cfg.trace_depth,
+        path_tracing=False, collect_stats=cfg.collect_stats,
+        disable_shadows=cfg.disable_shadows,
+        light_samples=cfg.light_samples, ray_order=True)
+    radiance = (radiance.reshape(n_rows // 8, w // 16, 8, 16, 3)
+                .transpose(0, 2, 1, 3, 4).reshape(n_rows, w, 3))
+    return radiance, stats
+
+
 def render_hdr(scene: Scene, static: SceneStatic, cam: Camera,
                cfg: RenderConfig, key: jax.Array):
     """Scene::raytraceImage pre-tonemap phase (Scene.cpp:93-173).

@@ -235,6 +235,38 @@ def scene_cornell(cfg: RenderConfig):
     return scene, static, cam, cfg
 
 
+def scene_photon_cornell(cfg: RenderConfig):
+    """The golden harness's makePhotonCornellScene (injected by
+    tools/golden_harness/patch_main.py): makeCornellScene geometry with
+    the point light swapped for a DirectionalAreaLight (radius 1.5 at
+    (2.5, 4.5, -1) aimed straight down, 50 W) — the only light type the
+    reference emits photons from (Scene.cpp:368,430), so this scene
+    exercises the photon-mapped radiance path end to end
+    (irradiance_estimate added at every diffuse hit,
+    Scene.cpp:286-299). Compared statistically in
+    tools/golden_tpu.py (photon emission is stochastic both sides)."""
+    mb = MaterialBuilder()
+    m1 = mb.phong(kd=(1, 1, 1))
+    m2 = mb.phong(kd=(1, 0, 0))
+    m3 = mb.phong(kd=(0, 1, 0))
+    m4 = mb.phong(kd=(1, 1, 1))
+    water = mb.phong(kd=(1, 1, 1), kt=(1, 1, 1), shininess=5, ior=1.5)
+    meshes = [(ref_obj("cornell_box_1.obj"), m1),
+              (ref_obj("cornell_box_2.obj"), m2),
+              (ref_obj("cornell_box_3.obj"), m3),
+              (ref_obj("cornell_box_4.obj"), m4),
+              (ref_obj("WaterDrops.obj", translate(-2, -0.5, 0)), water)]
+    tris = pack_triangles(meshes)
+    lights = [dict(kind=LIGHT_DIRECTIONAL_AREA,
+                   position=(2.5, 4.5, -1), normal=(0, -1, 0),
+                   radius=1.5, color=(1, 1, 1), wattage=50.0)]
+    cam = make_camera(eye=(2.5, 3, 3), look_at=(2.5, 2.5, 0), fov=90,
+                      bg_color=(0, 0, 0.2))
+    scene, static = make_scene(tris=tris, materials=mb.build(),
+                               lights=lights)
+    return scene, static, cam, cfg
+
+
 def _make_sponza_substitute():
     """sponza.obj was stripped from the snapshot (.MISSING_LARGE_BLOBS).
     Substitute: a procedurally generated two-story colonnaded atrium
@@ -551,6 +583,7 @@ SCENES: dict[str, Callable] = {
     "bunny1": scene_bunny1,
     "bunny20": scene_bunny20,
     "cornell": scene_cornell,
+    "photon_cornell": scene_photon_cornell,
     "sponza": scene_sponza,
     "sphere_texture": scene_sphere_texture,
     "texture_plane": scene_texture_plane,
