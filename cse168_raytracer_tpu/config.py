@@ -47,6 +47,11 @@ class RenderConfig:
     # cell size multiplier of the sparse-region fallback grid level
     # (ops/photon.build_grid coarse_factor); 0 disables the level
     photon_coarse_factor: float = 8.0
+    # emission-batch cap per map build (the reference's while loop is
+    # uncapped, Scene.cpp:370 — caustic store rates ~0.3% need ~1000
+    # batches to reach the 200k target; 200 keeps interactive builds
+    # bounded and golden runs raise it)
+    photon_max_batches: int = 200
     caustic_photons_per_light: int = 200000  # Scene.h:68
     photon_grid_radius: float = 0.25  # fixed-radius gather radius (TPU design choice;
                                       # replaces unbounded kNN, SURVEY.md #21)

@@ -106,15 +106,25 @@ def perlin(x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
 def perlin_turbulence(p: jax.Array, octaves: int = 4,
                       lacunarity: float = 2.0, gain: float = 0.5) -> jax.Array:
     """Sum of |perlin| octaves (used by the Stone/Cloud textures,
-    Texture.cpp:358-440)."""
-    amp = 1.0
-    freq = 1.0
-    out = jnp.zeros(p.shape[:-1], dtype=p.dtype)
-    for _ in range(octaves):
-        out = out + amp * jnp.abs(perlin(p[..., 0] * freq, p[..., 1] * freq,
-                                         p[..., 2] * freq))
-        amp *= gain
-        freq *= lacunarity
+    Texture.cpp:358-440).
+
+    The octave loop rides lax.scan so the perlin graph is traced ONCE
+    per call site instead of `octaves` times: the petal/final scene
+    inlines the procedural stack into every shading site of every
+    unrolled bounce level, and the unrolled octaves multiplied that
+    into a ~2-minute first jit (PERF.md); amp/freq walk along as scan
+    inputs."""
+    amps = gain ** np.arange(octaves, dtype=np.float32)
+    freqs = lacunarity ** np.arange(octaves, dtype=np.float32)
+
+    def body(acc, af):
+        amp, freq = af
+        return acc + amp * jnp.abs(perlin(p[..., 0] * freq,
+                                          p[..., 1] * freq,
+                                          p[..., 2] * freq)), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros(p.shape[:-1], dtype=p.dtype),
+                          (jnp.asarray(amps), jnp.asarray(freqs)))
     return out
 
 

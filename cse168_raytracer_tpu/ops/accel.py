@@ -159,7 +159,9 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
                  (the Pallas kernels only run interpreted off-TPU, far
                  too slow).
     Extra kwargs: chunk_tris (pallas_forest only), leaf_size / tile
-    (bvh / packet builders only); anything else raises at the builder.
+    (bvh / packet builders only); unknown or kind-mismatched options
+    raise TypeError here (a silently dropped option once cost a round
+    of wrong A/B numbers).
     Returns the updated Scene.
     """
     if kind == "auto":
@@ -177,6 +179,17 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
             # known post-build; pallas_sah4 falls through to pallas_hbm
             # below when its leaf table is too big.
             kind = "pallas_sah4" if n_tris <= 300_000 else "pallas_hbm"
+    _KIND_KWARGS = {
+        "pallas_forest": {"chunk_tris"},
+        "bvh": {"leaf_size"},
+        "packet": {"leaf_size", "tile"},
+    }
+    unknown = set(kwargs) - _KIND_KWARGS.get(kind, set())
+    if unknown:
+        raise TypeError(
+            f"attach_accel(kind={kind!r}) got unsupported options "
+            f"{sorted(unknown)}; this kind accepts "
+            f"{sorted(_KIND_KWARGS.get(kind, set())) or 'no options'}")
     if kind == "pallas_sah":
         # the SAH builder defines its own triangle order (leaf blocks)
         from cse168_raytracer_tpu.ops.pallas_bvh import build_pallas_bvh_sah
@@ -198,9 +211,7 @@ def attach_accel(scene, kind: str = "auto", **kwargs):
     if kind == "pallas_forest":
         from cse168_raytracer_tpu.ops.pallas_bvh import \
             build_pallas_bvh_forest
-        new_pack, accel = build_pallas_bvh_forest(
-            scene.tris, **{k: v for k, v in kwargs.items()
-                           if k == "chunk_tris"})
+        new_pack, accel = build_pallas_bvh_forest(scene.tris, **kwargs)
         return scene.replace(tris=new_pack, accel=accel)
     pack = scene.tris
     perm = morton_order(np.asarray(pack.v0), np.asarray(pack.e1),

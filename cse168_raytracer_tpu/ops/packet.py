@@ -1,4 +1,11 @@
-"""Packet BVH traversal — the fast default accelerator on TPU.
+"""Packet BVH traversal — LEGACY XLA formulation, kept for A/B.
+
+Superseded as the TPU default by the Pallas kernels (ops/pallas_bvh:
+pallas_sah4 / pallas_hbm — see PERF.md's lever ledger; this tile-packet
+XLA scan lost its A/B because a lax.while_loop advances EVERY tile each
+iteration, so all tiles pay the worst straggler). Retained as a
+working alternative formulation and comparison baseline
+(attach_accel(kind="packet")).
 
 The reference traverses its SAH BVH per ray with SSE 4-triangle leaf
 packets (BVH.cpp:438-658). A literal per-ray tree walk is hostile to

@@ -136,7 +136,7 @@ _LEAF_BF16X2_HBM = _os.environ.get("CSE168_LEAF_BF16X2", "1") == "1"
 
 class PallasBVH(NamedTuple):
     cbox: jax.Array    # (Nn, 16) f32 [loL hiL loR hiR childL childR pad2]
-    leafW: jax.Array   # (L, 16, 128) f32 matmul operand, planar columns
+    leafW: jax.Array   # (L, 16, 4K) f32 matmul operand, planar columns
     n_nodes: int
     n_leaves: int
     stack_depth: int

@@ -18,8 +18,10 @@ tests (SSE.h, BVH.cpp:341-435,513-584), at VMEM tile width instead of
 
 VMEM budget: triangle blocks cost 88 bytes/tri -> ~150k triangles fit
 the default 13 MB budget; larger scenes fall back to the XLA streaming
-path (ops/accel.py). An HBM-resident double-buffered variant is the
-planned follow-up for sponza-scale scenes.
+path (ops/accel.py). The HBM-resident variant SHIPPED as
+ops/pallas_bvh.PallasBVHHBM (whole-scene wide tree, per-leaf-visit
+DMA ring) — this module is the measured-slower v1 kernel, kept for
+A/B (attach_accel(kind="pallas"); see accel.py's kind table).
 """
 
 from __future__ import annotations

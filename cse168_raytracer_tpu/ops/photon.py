@@ -551,7 +551,7 @@ def build_photon_maps(scene: Scene, static: SceneStatic, cfg: RenderConfig,
         for li in emitters:
             li_stored = 0
             it = 0
-            while li_stored < target and it < 200:
+            while li_stored < target and it < cfg.photon_max_batches:
                 key, sk = jax.random.split(key)
                 out = fn(scene, static=static, light_i=li, n_emit=batch,
                          caustic=caustic,

@@ -127,7 +127,10 @@ def render_photon(seed=0):
     # stays Jensen-consistent at block-mean scale
     cfg = RenderConfig(width=512, height=512, trace_depth=10,
                        trace_samples=1, path_tracing=False,
-                       photon_grid_max_per_cell=32)
+                       photon_grid_max_per_cell=32,
+                       # reach the full 200k caustic target like the
+                       # reference's uncapped loop (store rate ~0.3%)
+                       photon_max_batches=1200)
     scene, static, cam, cfg = build("photon_cornell", cfg)
     scene = attach_accel(scene)
     t0 = time.time()
