@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from cse168_raytracer_tpu.config import RenderConfig
+from cse168_raytracer_tpu.scenes import build
 from cse168_raytracer_tpu.models.geometry import (make_plane_pool,
                                                   make_sphere_pool)
 from cse168_raytracer_tpu.models.lights import (LIGHT_POINT, LIGHT_SQUARE,
@@ -270,3 +271,49 @@ def test_collect_stats_counts_full_render():
     cfg2 = dataclasses.replace(cfg, collect_stats=False)
     _, stats2 = render_hdr(scene, static, cam, cfg2, jax.random.key(0))
     assert float(stats2.box_tests) == 0.0
+
+
+def test_attach_accel_rejects_unknown_kwargs():
+    """Mistyped accelerator options must raise, not silently drop
+    (attach_accel validates per kind)."""
+    import pytest
+    from cse168_raytracer_tpu.ops.accel import attach_accel
+    cfg = RenderConfig(width=8, height=8)
+    scene, static, cam, cfg = build("teapot", cfg)
+    with pytest.raises(TypeError, match="unsupported options"):
+        attach_accel(scene, kind="pallas_sah4", leaf_size=16)
+    with pytest.raises(TypeError, match="unsupported options"):
+        attach_accel(scene, kind="bvh", tile=64)
+
+
+def test_render_hdr_band_matches_full_render():
+    """render_hdr_band (host-level dispatch chunking) stacks to the
+    full-frame deterministic render (ulp-level tolerance: the band
+    graph compiles separately, so XLA fusion/rounding order may differ
+    by ~1e-5 relative)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from cse168_raytracer_tpu.render.integrator import (render_hdr,
+                                                        render_hdr_band)
+    cfg = RenderConfig(width=32, height=32, trace_depth=2)
+    scene, static, cam, cfg = build("teapot", cfg)
+    key = jax.random.key(0)
+    full, _ = jax.jit(lambda s, k: render_hdr(s, static, cam, cfg, k))(
+        scene, key)
+    bandf = jax.jit(lambda s, k, y0: render_hdr_band(
+        s, static, cam, cfg, k, y0, 8)[0])
+    stacked = np.concatenate(
+        [np.asarray(bandf(scene, key, jnp.int32(b * 8)))
+         for b in range(4)], axis=0)
+    np.testing.assert_allclose(stacked, np.asarray(full),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sponza_proxy_scene_scale():
+    """The sponza stand-in must stay benchmark-scale (>=100k tris) and
+    keep its interior camera."""
+    import numpy as np
+    cfg = RenderConfig(width=8, height=8)
+    scene, static, cam, cfg = build("sponza_proxy", cfg)
+    assert int(np.asarray(scene.tris.valid).sum()) >= 100_000
