@@ -87,14 +87,28 @@ def onb(n: jax.Array) -> tuple[jax.Array, jax.Array]:
 def align_hemisphere(v: jax.Array, theta: jax.Array, phi: jax.Array) -> jax.Array:
     """Direction at spherical coords (theta=azimuth, phi=polar) around axis v.
 
-    Matches alignHemisphereToVector (Utility.h:34-50): builds the
-    *unnormalized* tangent frame, combines, then normalizes the result.
-    The reference leaves t1 unnormalized which slightly biases samples
-    toward v when |cross(z,v)| < 1 — we normalize the frame (correct
-    cosine sampling); the final normalize makes perfect-specular paths
-    identical either way.
+    Matches alignHemisphereToVector (Utility.h:34-50) EXACTLY,
+    including its UNNORMALIZED tangent frame: t1 = cross(z, v) has
+    magnitude |v| sin(angle(v, z)) and t2 = cross(t1, v) magnitude
+    |t1||v|, so the tangential components are scaled by sin(angle)
+    relative to the axis component before the final normalize — the
+    sampled lobe is SQUEEZED toward v by that factor. This is NOT
+    exact cosine sampling, and it is load-bearing for parity: with a
+    normalized frame (a previous round's "correction") photon-map
+    bounce directions escaped the open cornell face ~4 pp less often
+    than the reference's, compounding into a 21% photon-energy excess
+    (store rate 38.7% vs the reference binary's 31.7%; see the r05
+    photon-parity investigation). The reference applies the same warp
+    to every diffuse bounce and Phong lobe, in photon tracing AND path
+    tracing (Ray.h:87-140,149-165), and never divides by the sampled
+    pdf — so reproducing the warp reproduces its radiance.
     """
-    t1, t2 = onb(v)
+    z_axis = jnp.zeros_like(v).at[..., 2].set(1.0)
+    y_axis = jnp.zeros_like(v).at[..., 1].set(1.0)
+    t1 = jnp.cross(z_axis, v)
+    degen = (jnp.sum(t1 * t1, axis=-1, keepdims=True) < 1e-6)
+    t1 = jnp.where(degen, jnp.cross(y_axis, v), t1)
+    t2 = jnp.cross(t1, v)
     sp = jnp.sin(phi)[..., None]
     u1 = sp * jnp.cos(theta)[..., None]
     u2 = sp * jnp.sin(theta)[..., None]

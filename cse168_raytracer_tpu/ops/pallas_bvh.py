@@ -1267,14 +1267,30 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                         & jnp.broadcast_to(better, (K, T))
                         ).astype(jnp.float32)
                 # aw is (16, 2K): attr rows 16..31 live in lanes K..2K
-                # (128-aligned DMA slices); contract each half
-                prod = jnp.concatenate([
-                    jax.lax.dot_general(
-                        aw[:, h * K:(h + 1) * K], oneh,
-                        (((1,), (0,)), ((), ())),
+                # (128-aligned DMA slices); contract each half. On the
+                # bf16x2 tier: the one-hot is EXACT in bf16 and each
+                # output has a single nonzero addend, so attr_hi@oneh
+                # + attr_lo@oneh (2 DEFAULT passes) reproduces the
+                # bf16x2-split attribute exactly — vs HIGHEST's 6
+                # passes. The VMEM tier keeps HIGHEST (bit-exact f32
+                # attributes for the golden scenes).
+                def _extract(a):
+                    if not bf16x2:
+                        return jax.lax.dot_general(
+                            a, oneh, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                    ahi = a.astype(jnp.bfloat16).astype(jnp.float32)
+                    alo = a - ahi
+                    dflt = lambda x: jax.lax.dot_general(
+                        x, oneh, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-                    for h in (0, 1)], axis=0)                # (32, T)
+                        precision=jax.lax.Precision.DEFAULT)
+                    return dflt(ahi) + dflt(alo)
+
+                prod = jnp.concatenate(
+                    [_extract(aw[:, h * K:(h + 1) * K])
+                     for h in (0, 1)], axis=0)               # (32, T)
                 out_attr_ref[0, t_idx] = jnp.where(
                     jnp.broadcast_to(better, (32, T)), prod,
                     out_attr_ref[0, t_idx])

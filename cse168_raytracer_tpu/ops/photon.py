@@ -68,12 +68,6 @@ class PhotonGrid:
     cell_hash: jax.Array    # (P,) i32 sorted hash per photon
     radius: jax.Array       # () gather radius (= cell size)
     n_valid: jax.Array      # () i32
-    # packed copy of (pos | power | dir | weight) as (P, 12) rows:
-    # the gather is latency-bound per ROW on TPU (~40 ns random, less
-    # on the contiguous runs), so _gather_level fetches ONE packed row
-    # per candidate instead of four narrow ones (measured 24.3 ->
-    # 7.4 s per 262k-point irradiance call)
-    packed: Optional[jax.Array] = None
     table_size: int = struct.field(pytree_node=False, default=1 << 20)
     max_per_cell: int = struct.field(pytree_node=False, default=64)
     knn: int = struct.field(pytree_node=False, default=500)
@@ -167,18 +161,11 @@ def build_grid(pos: np.ndarray, power: np.ndarray, dirs: np.ndarray,
         coarse = build_grid(pos, power, dirs, radius * coarse_factor,
                             max_per_cell=max_per_cell, knn=knn,
                             coarse_factor=None)
-    packed = np.zeros((max(n, 1), 12), np.float32)
-    if n:
-        packed[:, 0:3] = pos_s
-        packed[:, 3:6] = pow_s
-        packed[:, 6:9] = dir_s
-        packed[:, 9] = wgt
     return PhotonGrid(
         pos=jnp.asarray(pos_s, jnp.float32),
         power=jnp.asarray(pow_s, jnp.float32),
         dir=jnp.asarray(dir_s, jnp.float32),
         weight=jnp.asarray(wgt, jnp.float32),
-        packed=jnp.asarray(packed),
         cell_hash=jnp.asarray(h_s.astype(np.int32)),
         radius=jnp.float32(radius),
         n_valid=jnp.int32(n),
@@ -213,7 +200,7 @@ def grid_irradiance(grid: PhotonGrid, p: jax.Array, n: jax.Array,
             lambda args: grid_irradiance(grid, args[0], args[1], chunk),
             (pp.reshape(n_ch, chunk, 3), np_.reshape(n_ch, chunk, 3)))
         return out.reshape(n_pad, 3)[:nn]
-    irr, cnt = _gather_level(grid, p, n)
+    irr, cnt = _gather_level(grid, _pack_rows(grid), p, n)
     if grid.coarse is not None:
         # sparse-region fallback: where the fine level holds fewer than
         # knn photons within its radius, the k-NN search is radius-
@@ -225,13 +212,34 @@ def grid_irradiance(grid: PhotonGrid, p: jax.Array, n: jax.Array,
         # divides by the (untightened) initial search radius and
         # returns ~0 (PhotonMap.cpp:81-141 with maxdist = 1e10), so
         # the fine fixed-radius estimate is the closer analog.
-        irr_c, cnt_c = _gather_level(grid.coarse, p, n)
+        irr_c, cnt_c = _gather_level(grid.coarse, _pack_rows(grid.coarse),
+                                     p, n)
         use_c = (cnt < grid.knn) & (cnt_c >= grid.knn)
         irr = jnp.where(use_c[:, None], irr_c, irr)
     return irr
 
 
-def _gather_level(grid: PhotonGrid, p: jax.Array, n: jax.Array):
+def _pack_rows(grid: PhotonGrid) -> jax.Array:
+    """(P, 12) gather table [pos | power | dir | weight | pad]: the
+    gather is latency-bound per ROW on TPU (~40 ns random, less on
+    contiguous runs), so _gather_level fetches ONE packed row per
+    candidate instead of four narrow ones (measured 24.3 -> 9.8 s per
+    262k-point irradiance call). Built ON-DEVICE from the live fields
+    so d(irradiance)/d(stored power) flows (the photon-power gradient
+    surface BASELINE.json names; a build-time-baked table silently
+    detached it). ~10 MB concat per irradiance call — noise next to
+    the candidate fetches. The optimization barrier keeps XLA from
+    fusing the concat INTO the gather (a fused gather-of-concat was
+    measured ~10x slower at scene-attribute scale)."""
+    P = grid.pos.shape[0]
+    packed = jnp.concatenate([
+        grid.pos, grid.power, grid.dir, grid.weight[:, None],
+        jnp.zeros((P, 2), grid.pos.dtype)], axis=1)
+    return jax.lax.optimization_barrier(packed)
+
+
+def _gather_level(grid: PhotonGrid, packed: jax.Array, p: jax.Array,
+                  n: jax.Array):
     """One grid level's density-adaptive gather. Returns
     (irradiance (N, 3), weighted photon count within the level radius
     (N,))."""
@@ -259,7 +267,7 @@ def _gather_level(grid: PhotonGrid, p: jax.Array, n: jax.Array):
     valid = (k < count[..., None]) & (idx < grid.n_valid)
     idx = jnp.clip(idx, 0, grid.pos.shape[0] - 1)
 
-    g = grid.packed[idx]                               # (N, 27, K, 12)
+    g = packed[idx]                                    # (N, 27, K, 12)
     ppos = g[..., 0:3]
     ppow = g[..., 3:6]
     pdir = g[..., 6:9]
