@@ -132,6 +132,12 @@ _LEAF_PRECISION = _PRECISIONS[_prec]
 # traversal visits nearly double. Set CSE168_LEAF_BF16X2=0 to force
 # HIGHEST everywhere.
 _LEAF_BF16X2_HBM = _os.environ.get("CSE168_LEAF_BF16X2", "1") == "1"
+# A/B flag: pop and process TWO stack entries per while_loop iteration
+# (the second under a sp>0 cond). Halves the loop's own per-iteration
+# bookkeeping (condition eval, backedge, state carry) at the cost of
+# one extra scalar cond per pair — isolates how much of the ~460-700
+# ns/visit is while_loop overhead vs the visit bodies themselves.
+_TWO_POP = _os.environ.get("CSE168_TWO_POP", "0") == "1"
 
 
 class PallasBVH(NamedTuple):
@@ -1297,7 +1303,7 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
             return sp
 
     if leaf_dma is None:
-        def body(sp):
+        def visit(sp):
             sp = sp - 1
             node = stack_i[sp]
 
@@ -1313,6 +1319,12 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
                                 lambda s: do_internal(node, s),
                                 do_leaf, sp)
 
+        if _TWO_POP:
+            def body(sp):
+                sp = visit(sp)
+                return jax.lax.cond(sp > 0, visit, lambda s: s, sp)
+        else:
+            body = visit
         jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
         return
 
@@ -1348,7 +1360,7 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
             aw = aw_scratch[slot]
         return shade_leaf(leaf, lw_scratch[slot], aw, sp), head + 1
 
-    def body(state):
+    def visit(state):
         sp, head, tail = state
         sp = sp - 1
         node = stack_i[sp]
@@ -1379,6 +1391,12 @@ def _traverse4_one(r8_ref, rmat_ref, cbox_ref, links_ref, leafW_ref,
         return jax.lax.cond(node >= 0, internal_, leaf_,
                             (sp, head, tail))
 
+    if _TWO_POP:
+        def body(state):
+            state = visit(state)
+            return jax.lax.cond(state[0] > 0, visit, lambda s: s, state)
+    else:
+        body = visit
     state = jax.lax.while_loop(lambda s: s[0] > 0, body,
                                (sp0, jnp.int32(0), jnp.int32(0)))
     sp_f, head_f, tail_f = state
